@@ -1,0 +1,118 @@
+"""Pluggable compute backend for the O(n) group math.
+
+The protocol layer is backend-agnostic: every hot vector primitive (MSM, batched
+scalar-mul, point folding) dispatches through the active backend. `HostBackend`
+is the latency-optimal pure-Python path for small n and the golden model;
+`TpuBackend` (in `curdleproofs_tpu.ops.backend`) runs the same primitives as
+batched limb kernels under jit on TPU.
+"""
+
+from __future__ import annotations
+
+from .host.g1 import G1
+
+__all__ = ["Backend", "HostBackend", "get_backend", "set_backend", "use_backend"]
+
+
+class Backend:
+    """Interface: all inputs/outputs are host `G1` objects / int scalars."""
+
+    name = "abstract"
+
+    def msm(self, points: list[G1], scalars: list[int]) -> G1:
+        raise NotImplementedError
+
+    def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
+        """[scalar * P for P in points]"""
+        raise NotImplementedError
+
+    def fold_points(self, left: list[G1], right: list[G1], gamma: int) -> list[G1]:
+        """[L_i + gamma * R_i] — the recursive-argument folding step."""
+        raise NotImplementedError
+
+    def batch_mul_each(self, points: list[G1], scalars: list[int]) -> list[G1]:
+        """[s_i * P_i] (e.g. grand-product basis rescaling)."""
+        raise NotImplementedError
+
+
+class HostBackend(Backend):
+    name = "host"
+
+    def msm(self, points: list[G1], scalars: list[int]) -> G1:
+        return _pippenger(points, scalars)
+
+    def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
+        return [p.mul(scalar) for p in points]
+
+    def batch_mul_each(self, points: list[G1], scalars: list[int]) -> list[G1]:
+        return [p.mul(s) for p, s in zip(points, scalars)]
+
+    def fold_points(self, left: list[G1], right: list[G1], gamma: int) -> list[G1]:
+        return [l.add(r.mul(gamma)) for l, r in zip(left, right)]
+
+
+def _pippenger(points: list[G1], scalars: list[int], window: int | None = None) -> G1:
+    """Bucketed MSM over host ints (the device twin lives in ops/msm.py)."""
+    assert len(points) == len(scalars)
+    n = len(points)
+    if n == 0:
+        return G1.infinity()
+    if n == 1:
+        return points[0].mul(scalars[0])
+    if window is None:
+        window = max(3, n.bit_length() - 2)
+        window = min(window, 13)
+    nbits = 255
+    acc = G1.infinity()
+    for w_start in range(((nbits + window - 1) // window) * window - window, -1, -window):
+        for _ in range(window):
+            acc = acc.double()
+        buckets: dict[int, G1] = {}
+        mask = (1 << window) - 1
+        for p, s in zip(points, scalars):
+            digit = (s >> w_start) & mask
+            if digit:
+                cur = buckets.get(digit)
+                buckets[digit] = p if cur is None else cur.add(p)
+        if not buckets:
+            continue
+        running = G1.infinity()
+        window_sum = G1.infinity()
+        for digit in range(max(buckets), 0, -1):
+            b = buckets.get(digit)
+            if b is not None:
+                running = running.add(b)
+            window_sum = window_sum.add(running)
+        acc = acc.add(window_sum)
+    return acc
+
+
+_active: Backend = HostBackend()
+
+
+def get_backend() -> Backend:
+    return _active
+
+
+def set_backend(backend: Backend) -> None:
+    global _active
+    _active = backend
+
+
+class use_backend:
+    """Context manager to swap the active backend temporarily."""
+
+    def __init__(self, backend: Backend):
+        self._new = backend
+        self._old: Backend | None = None
+
+    def __enter__(self):
+        global _active
+        self._old = _active
+        _active = self._new
+        return self._new
+
+    def __exit__(self, *exc):
+        global _active
+        _active = self._old
+        return False

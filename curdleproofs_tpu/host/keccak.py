@@ -1,0 +1,61 @@
+"""Keccak-f[1600] permutation (host side, used by the STROBE-128 transcript).
+
+Validated against hashlib's SHA3 (same permutation, different padding) in
+tests/test_keccak.py.
+"""
+
+from __future__ import annotations
+
+_ROUND_CONSTANTS = (
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
+    0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
+    0x000000000000008A, 0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089, 0x8000000000008003,
+    0x8000000000008002, 0x8000000000000080, 0x000000000000800A, 0x800000008000000A,
+    0x8000000080008081, 0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+)
+
+_ROTATIONS = (
+    0, 1, 62, 28, 27,
+    36, 44, 6, 55, 20,
+    3, 10, 43, 25, 39,
+    41, 45, 15, 21, 8,
+    18, 2, 61, 56, 14,
+)
+
+_MASK = (1 << 64) - 1
+
+
+def _rol(v: int, n: int) -> int:
+    n &= 63
+    return ((v << n) | (v >> (64 - n))) & _MASK
+
+
+def keccak_f1600(state: bytearray) -> None:
+    """Apply Keccak-f[1600] in place to a 200-byte state (lanes little-endian)."""
+    lanes = [int.from_bytes(state[8 * i: 8 * i + 8], "little") for i in range(25)]
+
+    for rc in _ROUND_CONSTANTS:
+        # theta
+        c = [lanes[x] ^ lanes[x + 5] ^ lanes[x + 10] ^ lanes[x + 15] ^ lanes[x + 20]
+             for x in range(5)]
+        d = [c[(x - 1) % 5] ^ _rol(c[(x + 1) % 5], 1) for x in range(5)]
+        for i in range(25):
+            lanes[i] ^= d[i % 5]
+        # rho + pi
+        b = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                # A[x, y] at index x + 5y ; B[y, 2x+3y] = rol(A[x, y])
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = _rol(lanes[x + 5 * y],
+                                                        _ROTATIONS[x + 5 * y])
+        # chi
+        for y in range(5):
+            row = b[5 * y: 5 * y + 5]
+            for x in range(5):
+                lanes[x + 5 * y] = row[x] ^ ((~row[(x + 1) % 5]) & row[(x + 2) % 5]) & _MASK
+        # iota
+        lanes[0] ^= rc
+
+    for i in range(25):
+        state[8 * i: 8 * i + 8] = lanes[i].to_bytes(8, "little")

@@ -1,0 +1,104 @@
+"""Byte codecs, bit-exact with arkworks `ark-serialize` 0.4 + `ark-bls12-381` 0.4.
+
+G1 points use the 48-byte ZCash compressed format (flags in the three top bits of
+the first byte); Fr uses 32-byte little-endian canonical form. Golden anchors:
+generator bytes at `/root/reference/src/whisk.rs:364-368` and Fr round-trip at
+`whisk.rs:354-362`.
+"""
+
+from __future__ import annotations
+
+from ..constants import CURVE_B, Q, R
+from .g1 import G1, get_ys_from_x
+
+__all__ = [
+    "g1_to_bytes", "g1_from_bytes", "fr_to_bytes", "fr_from_bytes",
+    "fr_from_le_bytes_mod_order", "fr_from_random_bytes", "vec_len_prefix",
+    "SerializationError",
+]
+
+
+class SerializationError(ValueError):
+    pass
+
+
+_COMPRESSED_FLAG = 0x80
+_INFINITY_FLAG = 0x40
+_SORT_FLAG = 0x20  # y is the lexicographically largest of the two roots
+
+
+def g1_to_bytes(p: G1) -> bytes:
+    """ZCash-format compressed serialization (48 bytes, big-endian x)."""
+    aff = p.to_affine()
+    if aff is None:
+        out = bytearray(48)
+        out[0] = _COMPRESSED_FLAG | _INFINITY_FLAG
+        return bytes(out)
+    x, y = aff
+    out = bytearray(x.to_bytes(48, "big"))
+    flags = _COMPRESSED_FLAG
+    if y > Q - y:  # y is the larger root (Q - y is the other; y != 0 on this curve)
+        flags |= _SORT_FLAG
+    out[0] |= flags
+    return bytes(out)
+
+
+def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:
+    """Deserialize a ZCash-format compressed point; checks curve + subgroup."""
+    if len(buf) != 48:
+        raise SerializationError("G1 compressed encoding must be 48 bytes")
+    flags = buf[0] & 0xE0
+    if not flags & _COMPRESSED_FLAG:
+        raise SerializationError("expected compressed encoding")
+    if flags & _INFINITY_FLAG:
+        if flags & _SORT_FLAG or any(buf[1:]) or (buf[0] & 0x1F):
+            raise SerializationError("malformed infinity encoding")
+        return G1.infinity()
+    body = bytes([buf[0] & 0x1F]) + buf[1:]
+    x = int.from_bytes(body, "big")
+    if x >= Q:
+        raise SerializationError("x coordinate not in field")
+    ys = get_ys_from_x(x)
+    if ys is None:
+        raise SerializationError("x is not on the curve")
+    y = ys[1] if flags & _SORT_FLAG else ys[0]
+    p = G1.from_affine(x, y)
+    if validate and not p.is_in_correct_subgroup():
+        raise SerializationError("point not in the prime-order subgroup")
+    return p
+
+
+def fr_to_bytes(v: int) -> bytes:
+    return (v % R).to_bytes(32, "little")
+
+
+def fr_from_bytes(buf: bytes) -> int:
+    """Canonical deserialization: 32-byte LE, must be < r."""
+    if len(buf) != 32:
+        raise SerializationError("Fr encoding must be 32 bytes")
+    v = int.from_bytes(buf, "little")
+    if v >= R:
+        raise SerializationError("scalar not in field")
+    return v
+
+
+def fr_from_le_bytes_mod_order(buf: bytes) -> int:
+    """arkworks `Fr::from_le_bytes_mod_order` (`whisk.rs:343-345`)."""
+    return int.from_bytes(buf, "little") % R
+
+
+def fr_from_random_bytes(buf: bytes) -> int | None:
+    """arkworks `Fr::from_random_bytes`: first 32 bytes LE, masked to the
+    modulus bit size (255 bits — the top bit is shaved); None if >= r.
+
+    Used by the transcript challenge rejection loop (`transcript.rs:41-54`).
+    """
+    v = int.from_bytes(buf[:32], "little") & ((1 << 255) - 1)
+    if v >= R:
+        return None
+    return v
+
+
+def vec_len_prefix(n: int) -> bytes:
+    """ark-serialize Vec<T> length prefix: u64 little-endian."""
+    return n.to_bytes(8, "little")

@@ -1,0 +1,45 @@
+"""Deferred-MSM verifier accumulator (parity: `/root/reference/src/msm_accumulator.rs`).
+
+Collapses every check `C == <x, V>` into one random linear combination, dedup'ing
+repeated bases, then verifies them all with ONE giant MSM — the verifier's single
+hot kernel, and exactly the MSM the TPU path shards across chips.
+"""
+
+from __future__ import annotations
+
+from .constants import R
+from .errors import VerificationError
+from .host.g1 import G1
+from .host.rng import StdRng
+from .util import msm
+
+__all__ = ["MsmAccumulator"]
+
+
+class MsmAccumulator:
+    def __init__(self):
+        self._A_c = G1.infinity()
+        # dedup on affine coordinates (arkworks dedups on G1Affine hash)
+        self._base_scalar: dict[tuple[int, int] | None, int] = {}
+        self._base_point: dict[tuple[int, int] | None, G1] = {}
+
+    def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
+                         rng: StdRng) -> None:
+        """Accumulate the check `C == <vec_x, vec_V>` under a fresh random factor."""
+        random_factor = rng.rand_fr()
+        self._A_c = self._A_c.add(C.mul(random_factor))
+        keys = G1.batch_to_affine(vec_V)
+        for key, base, scalar in zip(keys, vec_V, vec_x):
+            cur = self._base_scalar.get(key)
+            if cur is None:
+                self._base_scalar[key] = random_factor * scalar % R
+                self._base_point[key] = base
+            else:
+                self._base_scalar[key] = (cur + random_factor * scalar) % R
+
+    def verify(self) -> None:
+        """Run the single deduped MSM; raise VerificationError on mismatch."""
+        bases = list(self._base_point.values())
+        scalars = [self._base_scalar[k] for k in self._base_point]
+        if not (msm(bases, scalars) - self._A_c).is_infinity():
+            raise VerificationError("accumulated MSM check failed")

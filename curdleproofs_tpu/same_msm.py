@@ -1,0 +1,194 @@
+"""Same multiscalar argument (parity: `/root/reference/src/same_multiscalar_argument.rs`).
+
+IPA-style recursive argument that one private vector x satisfies
+A = <x, G>, Z_t = <x, T>, Z_u = <x, U> simultaneously; log n rounds each
+emitting 6 points, O(n) verifier with 3 accumulated MSM checks.
+"""
+
+from __future__ import annotations
+
+from .backend import get_backend
+from .constants import R
+from .errors import VerificationError
+from .host.field import batch_inversion, fr_inv
+from .host.g1 import G1
+from .host.rng import StdRng
+from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
+from .msm_accumulator import MsmAccumulator
+from .transcript import Transcript
+from .util import generate_blinders, get_verification_scalars_bitstring, msm
+
+__all__ = ["SameMultiscalarProof"]
+
+
+class SameMultiscalarProof:
+    __slots__ = ("B_a", "B_t", "B_u", "vec_L_A", "vec_L_T", "vec_L_U",
+                 "vec_R_A", "vec_R_T", "vec_R_U", "x_final")
+
+    def __init__(self, B_a, B_t, B_u, vec_L_A, vec_L_T, vec_L_U,
+                 vec_R_A, vec_R_T, vec_R_U, x_final):
+        self.B_a = B_a
+        self.B_t = B_t
+        self.B_u = B_u
+        self.vec_L_A = vec_L_A
+        self.vec_L_T = vec_L_T
+        self.vec_L_U = vec_L_U
+        self.vec_R_A = vec_R_A
+        self.vec_R_T = vec_R_T
+        self.vec_R_U = vec_R_U
+        self.x_final = x_final
+
+    @staticmethod
+    def new(
+        crs_G_vec: list[G1],
+        A: G1,
+        Z_t: G1,
+        Z_u: G1,
+        vec_T: list[G1],
+        vec_U: list[G1],
+        vec_x: list[int],
+        transcript: Transcript,
+        rng: StdRng,
+    ) -> "SameMultiscalarProof":
+        n = len(vec_x)
+        backend = get_backend()
+        vec_G = list(crs_G_vec)
+        vec_T = list(vec_T)
+        vec_U = list(vec_U)
+
+        vec_r = generate_blinders(rng, n)
+        B_a = msm(vec_G, vec_r)
+        B_t = msm(vec_T, vec_r)
+        B_u = msm(vec_U, vec_r)
+
+        transcript.append_points(b"same_msm_step1", [A, Z_t, Z_u])
+        transcript.append_point_vec(b"same_msm_step1", vec_T)
+        transcript.append_point_vec(b"same_msm_step1", vec_U)
+        transcript.append_points(b"same_msm_step1", [B_a, B_t, B_u])
+        alpha = transcript.get_and_append_challenge(b"same_msm_alpha")
+
+        vec_x = [(r + alpha * x) % R for r, x in zip(vec_r, vec_x)]
+
+        vec_L_A, vec_L_T, vec_L_U = [], [], []
+        vec_R_A, vec_R_T, vec_R_U = [], [], []
+
+        while len(vec_x) > 1:
+            half = len(vec_x) // 2
+            x_L, x_R = vec_x[:half], vec_x[half:]
+            T_L, T_R = vec_T[:half], vec_T[half:]
+            U_L, U_R = vec_U[:half], vec_U[half:]
+            G_L, G_R = vec_G[:half], vec_G[half:]
+
+            L_A = msm(G_R, x_L)
+            L_T = msm(T_R, x_L)
+            L_U = msm(U_R, x_L)
+            R_A = msm(G_L, x_R)
+            R_T = msm(T_L, x_R)
+            R_U = msm(U_L, x_R)
+
+            vec_L_A.append(L_A)
+            vec_L_T.append(L_T)
+            vec_L_U.append(L_U)
+            vec_R_A.append(R_A)
+            vec_R_T.append(R_T)
+            vec_R_U.append(R_U)
+
+            transcript.append_points(b"same_msm_loop",
+                                     [L_A, L_T, L_U, R_A, R_T, R_U])
+            gamma = transcript.get_and_append_challenge(b"same_msm_gamma")
+            gamma_inv = fr_inv(gamma)
+
+            vec_x = [(l + gamma_inv * r) % R for l, r in zip(x_L, x_R)]
+            vec_T = backend.fold_points(T_L, T_R, gamma)
+            vec_U = backend.fold_points(U_L, U_R, gamma)
+            vec_G = backend.fold_points(G_L, G_R, gamma)
+
+        return SameMultiscalarProof(B_a, B_t, B_u, vec_L_A, vec_L_T, vec_L_U,
+                                    vec_R_A, vec_R_T, vec_R_U, vec_x[0])
+
+    def verification_scalars(self, n: int, transcript: Transcript):
+        lg_n = len(self.vec_L_A)
+        if lg_n >= 32 or n != (1 << lg_n):
+            raise VerificationError("bad SameMsm proof shape")
+        bitstring = get_verification_scalars_bitstring(n, lg_n)
+
+        challenges = []
+        for i in range(lg_n):
+            transcript.append_points(b"same_msm_loop", [
+                self.vec_L_A[i], self.vec_L_T[i], self.vec_L_U[i],
+                self.vec_R_A[i], self.vec_R_T[i], self.vec_R_U[i]])
+            challenges.append(transcript.get_and_append_challenge(b"same_msm_gamma"))
+
+        challenges_inv = batch_inversion(challenges, R)
+
+        vec_s = []
+        for i in range(n):
+            s = 1
+            for j in bitstring[i]:
+                s = s * challenges[j] % R
+            vec_s.append(s)
+        return challenges, challenges_inv, vec_s
+
+    def verify(
+        self,
+        crs_G_vec: list[G1],
+        A: G1,
+        Z_t: G1,
+        Z_u: G1,
+        vec_T: list[G1],
+        vec_U: list[G1],
+        transcript: Transcript,
+        msm_accumulator: MsmAccumulator,
+        rng: StdRng,
+    ) -> None:
+        n = len(vec_T)
+
+        transcript.append_points(b"same_msm_step1", [A, Z_t, Z_u])
+        transcript.append_point_vec(b"same_msm_step1", vec_T)
+        transcript.append_point_vec(b"same_msm_step1", vec_U)
+        transcript.append_points(b"same_msm_step1", [self.B_a, self.B_t, self.B_u])
+        alpha = transcript.get_and_append_challenge(b"same_msm_alpha")
+
+        vec_gamma, vec_gamma_inv, vec_s = self.verification_scalars(n, transcript)
+        vec_x_times_s = [self.x_final * s % R for s in vec_s]
+
+        A_a = self.B_a.add(A.mul(alpha))
+        Z_t_a = self.B_t.add(Z_t.mul(alpha))
+        Z_u_a = self.B_u.add(Z_u.mul(alpha))
+
+        lhs = msm(self.vec_L_A, vec_gamma).add(A_a).add(msm(self.vec_R_A, vec_gamma_inv))
+        msm_accumulator.accumulate_check(lhs, vec_x_times_s, crs_G_vec, rng)
+
+        lhs = msm(self.vec_L_T, vec_gamma).add(Z_t_a).add(msm(self.vec_R_T, vec_gamma_inv))
+        msm_accumulator.accumulate_check(lhs, vec_x_times_s, vec_T, rng)
+
+        lhs = msm(self.vec_L_U, vec_gamma).add(Z_u_a).add(msm(self.vec_R_U, vec_gamma_inv))
+        msm_accumulator.accumulate_check(lhs, vec_x_times_s, vec_U, rng)
+
+    # --- serde (same_multiscalar_argument.rs:263-289) ---------------------------
+    def serialize(self) -> bytes:
+        out = bytearray()
+        for p in (self.B_a, self.B_t, self.B_u):
+            out += g1_to_bytes(p)
+        for vec in (self.vec_L_A, self.vec_L_T, self.vec_L_U,
+                    self.vec_R_A, self.vec_R_T, self.vec_R_U):
+            for p in vec:
+                out += g1_to_bytes(p)
+        out += fr_to_bytes(self.x_final)
+        return bytes(out)
+
+    @staticmethod
+    def deserialize(buf: memoryview, log2_n: int) -> tuple["SameMultiscalarProof", memoryview]:
+        def take(n):
+            nonlocal buf
+            chunk, buf = buf[:n], buf[n:]
+            return bytes(chunk)
+
+        B_a = g1_from_bytes(take(48))
+        B_t = g1_from_bytes(take(48))
+        B_u = g1_from_bytes(take(48))
+        vecs = []
+        for _ in range(6):
+            vecs.append([g1_from_bytes(take(48)) for _ in range(log2_n)])
+        x_final = fr_from_bytes(take(32))
+        return SameMultiscalarProof(B_a, B_t, B_u, *vecs, x_final), buf

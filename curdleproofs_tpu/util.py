@@ -1,0 +1,80 @@
+"""Utility functions used around Curdleproofs.
+
+Parity: `/root/reference/src/util.rs` (msm wrappers, blinders, verification-scalar
+bitstrings, inner products, permutation apply, shuffle helper).
+"""
+
+from __future__ import annotations
+
+from .backend import get_backend
+from .constants import N_BLINDERS, R
+from .host.g1 import G1
+from .host.rng import StdRng
+
+__all__ = [
+    "msm", "inner_product", "get_permutation", "generate_blinders",
+    "get_verification_scalars_bitstring", "shuffle_permute_and_commit_input",
+    "sum_affine_points",
+]
+
+
+def msm(points: list[G1], scalars: list[int]) -> G1:
+    """Multi-scalar multiplication through the active backend (util.rs:19-22)."""
+    assert len(points) == len(scalars), "number of points != number of scalars"
+    return get_backend().msm(points, scalars)
+
+
+def inner_product(a: list[int], b: list[int]) -> int:
+    """Scalar inner product over Fr (util.rs:67-74)."""
+    assert len(a) == len(b)
+    return sum(x * y for x, y in zip(a, b)) % R
+
+
+def get_permutation(vec_a: list, permutation: list[int]) -> list:
+    """Return `vec_a` permuted: out[j] = vec_a[permutation[j]] (util.rs:77-79)."""
+    return [vec_a[i] for i in permutation]
+
+
+def generate_blinders(rng: StdRng, n: int) -> list[int]:
+    """n random Fr elements (util.rs:32-34)."""
+    return [rng.rand_fr() for _ in range(n)]
+
+
+def get_verification_scalars_bitstring(n: int, logn: int) -> list[list[int]]:
+    """Binary-decomposition bitstring for O(n) IPA verification (util.rs:40-64).
+
+    bitstring[i] lists the challenge-round indices j whose challenge divides
+    into s_i, i.e. rounds where bit (logn-1-j) of i is set.
+    """
+    bitstring: list[list[int]] = [[] for _ in range(n)]
+    for j in range(logn):
+        for i in range(n):
+            if (i >> (logn - 1 - j)) & 1:
+                bitstring[i].append(j)
+    return bitstring
+
+
+def shuffle_permute_and_commit_input(
+    crs, vec_R: list[G1], vec_S: list[G1], permutation: list[int], k: int, rng: StdRng,
+):
+    """Prepare shuffle-proof inputs (util.rs:83-106).
+
+    Returns (vec_T, vec_U, M, vec_m_blinders):
+    T = sigma(k*R), U = sigma(k*S), M = Pedersen commitment to sigma.
+    """
+    ell = len(crs.vec_G)
+    backend = get_backend()
+    vec_T = get_permutation(backend.batch_mul(vec_R, k), permutation)
+    vec_U = get_permutation(backend.batch_mul(vec_S, k), permutation)
+
+    sigma_ell = get_permutation(list(range(ell)), permutation)
+    vec_m_blinders = generate_blinders(rng, N_BLINDERS)
+    M = msm(crs.vec_G, sigma_ell).add(msm(crs.vec_H, vec_m_blinders))
+    return vec_T, vec_U, M, vec_m_blinders
+
+
+def sum_affine_points(points: list[G1]) -> G1:
+    acc = G1.infinity()
+    for p in points:
+        acc = acc.add(p)
+    return acc

@@ -1,0 +1,214 @@
+"""Whisk application layer — Ethereum SSLE glue (parity: `/root/reference/src/whisk.rs`).
+
+Byte-oriented API over trackers `(r*G, k*r*G)`, fixed-size shuffle proofs, and
+Schnorr-style DLEQ tracker opening proofs.
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    FIELD_ELEMENT_SIZE, G1POINT_SIZE, N_BLINDERS, R, TRACKER_PROOF_SIZE,
+    WHISK_ELL, WHISK_SHUFFLE_PROOF_SIZE,
+)
+from .crs import CurdleproofsCrs
+from .curdleproofs import CurdleproofsProof
+from .errors import VerificationError
+from .host.g1 import G1, GENERATOR
+from .host.rng import StdRng
+from .host.serde import (
+    fr_from_bytes, fr_from_le_bytes_mod_order, fr_to_bytes, g1_from_bytes,
+    g1_to_bytes,
+)
+from .transcript import Transcript
+from .util import shuffle_permute_and_commit_input
+
+__all__ = [
+    "WhiskTracker", "WhiskShuffleProof", "TrackerProof",
+    "generate_whisk_shuffle_proof", "is_valid_whisk_shuffle_proof",
+    "generate_whisk_tracker_proof", "is_valid_whisk_tracker_proof",
+    "to_bytes_g1affine", "from_bytes_g1affine", "to_bytes_fr", "from_bytes_fr",
+    "g1_generator", "bls_g1_scalar_multiply", "rand_scalar",
+    "FIELD_ELEMENT_SIZE", "G1POINT_SIZE", "WHISK_SHUFFLE_PROOF_SIZE",
+    "TRACKER_PROOF_SIZE",
+]
+
+
+# --- byte codecs (whisk.rs:307-345) ------------------------------------------
+def to_bytes_g1affine(p: G1) -> bytes:
+    return g1_to_bytes(p)
+
+
+def from_bytes_g1affine(buf: bytes) -> G1:
+    return g1_from_bytes(buf)
+
+
+def to_bytes_fr(v: int) -> bytes:
+    return fr_to_bytes(v)
+
+
+def from_bytes_fr(buf: bytes) -> int:
+    return fr_from_le_bytes_mod_order(buf)
+
+
+def g1_generator() -> G1:
+    return GENERATOR
+
+
+def bls_g1_scalar_multiply(p: G1, scalar: int) -> G1:
+    return p.mul(scalar)
+
+
+def rand_scalar(rng: StdRng) -> int:
+    return rng.rand_fr()
+
+
+class WhiskTracker:
+    """48-byte compressed pair (r*G, k*r*G)."""
+
+    __slots__ = ("r_G", "k_r_G")
+
+    def __init__(self, r_G: bytes, k_r_G: bytes):
+        self.r_G = r_G
+        self.k_r_G = k_r_G
+
+    @staticmethod
+    def from_k_r(k: int, r: int) -> "WhiskTracker":
+        r_G = GENERATOR.mul(r)
+        k_r_G = r_G.mul(k)
+        return WhiskTracker(g1_to_bytes(r_G), g1_to_bytes(k_r_G))
+
+    @staticmethod
+    def from_k(rng: StdRng, k: int) -> "WhiskTracker":
+        return WhiskTracker.from_k_r(k, rng.rand_fr())
+
+    @staticmethod
+    def from_rand(rng: StdRng) -> "WhiskTracker":
+        k = rng.rand_fr()
+        return WhiskTracker.from_k(rng, k)
+
+    def __eq__(self, other):
+        if not isinstance(other, WhiskTracker):
+            return NotImplemented
+        return self.r_G == other.r_G and self.k_r_G == other.k_r_G
+
+
+class TrackerProof:
+    __slots__ = ("A", "B", "s")
+
+    def __init__(self, A: G1, B: G1, s: int):
+        self.A = A
+        self.B = B
+        self.s = s
+
+    def serialize(self) -> bytes:
+        return g1_to_bytes(self.A) + g1_to_bytes(self.B) + fr_to_bytes(self.s)
+
+    @staticmethod
+    def deserialize(buf: bytes) -> "TrackerProof":
+        return TrackerProof(g1_from_bytes(buf[:48]), g1_from_bytes(buf[48:96]),
+                            fr_from_bytes(buf[96:128]))
+
+
+class WhiskShuffleProof:
+    __slots__ = ("M", "proof")
+
+    def __init__(self, M: G1, proof: CurdleproofsProof):
+        self.M = M
+        self.proof = proof
+
+    def serialize(self) -> bytes:
+        return g1_to_bytes(self.M) + self.proof.serialize()
+
+    @staticmethod
+    def deserialize(buf: bytes, log2_n: int) -> "WhiskShuffleProof":
+        M = g1_from_bytes(buf[:48])
+        proof = CurdleproofsProof.deserialize(buf[48:], log2_n)
+        return WhiskShuffleProof(M, proof)
+
+
+def _unzip_trackers(trackers) -> tuple[list[G1], list[G1]]:
+    vec_r = [g1_from_bytes(t.r_G) for t in trackers]
+    vec_s = [g1_from_bytes(t.k_r_G) for t in trackers]
+    return vec_r, vec_s
+
+
+def _zip_trackers(vec_r: list[G1], vec_s: list[G1]) -> list[WhiskTracker]:
+    return [WhiskTracker(g1_to_bytes(r), g1_to_bytes(s))
+            for r, s in zip(vec_r, vec_s)]
+
+
+def generate_whisk_shuffle_proof(
+    rng: StdRng, crs: CurdleproofsCrs, pre_trackers: list[WhiskTracker],
+) -> tuple[list[WhiskTracker], bytes]:
+    """Create and serialize a whisk shuffle proof (whisk.rs:144-179)."""
+    ell = len(crs.vec_G)
+    permutation = list(range(ell))
+    rng.shuffle(permutation)
+    k = rng.rand_fr()
+
+    vec_r, vec_s = _unzip_trackers(pre_trackers)
+    vec_t, vec_u, m, vec_m_blinders = shuffle_permute_and_commit_input(
+        crs, vec_r, vec_s, permutation, k, rng)
+
+    proof = CurdleproofsProof.new(crs, vec_r, vec_s, vec_t, vec_u, m,
+                                  permutation, k, vec_m_blinders, rng)
+
+    out = WhiskShuffleProof(m, proof).serialize()
+    assert len(out) == 48 + len(proof.serialize())
+    return _zip_trackers(vec_t, vec_u), out
+
+
+def is_valid_whisk_shuffle_proof(
+    rng: StdRng, crs: CurdleproofsCrs,
+    pre_trackers: list[WhiskTracker], post_trackers: list[WhiskTracker],
+    whisk_shuffle_proof_bytes: bytes,
+) -> bool:
+    vec_r, vec_s = _unzip_trackers(pre_trackers)
+    vec_t, vec_u = _unzip_trackers(post_trackers)
+    wsp = WhiskShuffleProof.deserialize(whisk_shuffle_proof_bytes, crs.log2_n())
+    try:
+        wsp.proof.verify(crs, vec_r, vec_s, vec_t, vec_u, wsp.M, rng)
+        return True
+    except VerificationError:
+        return False
+
+
+def generate_whisk_tracker_proof(rng: StdRng, tracker: WhiskTracker,
+                                 k: int) -> bytes:
+    """Schnorr DLEQ opening proof (whisk.rs:228-263)."""
+    k_r_g = g1_from_bytes(tracker.k_r_G)
+    r_g = g1_from_bytes(tracker.r_G)
+    G = GENERATOR
+
+    k_G = G.mul(k)
+    blinder = rng.rand_fr()
+    A = G.mul(blinder)
+    B = r_g.mul(blinder)
+
+    transcript = Transcript(b"whisk_opening_proof")
+    transcript.append_points(b"tracker_opening_proof",
+                             [k_G, G, k_r_g, r_g, A, B])
+    challenge = transcript.get_and_append_challenge(
+        b"tracker_opening_proof_challenge")
+    s = (blinder - challenge * k) % R
+
+    return TrackerProof(A, B, s).serialize()
+
+
+def is_valid_whisk_tracker_proof(tracker: WhiskTracker, k_commitment: bytes,
+                                 tracker_proof: bytes) -> bool:
+    proof = TrackerProof.deserialize(tracker_proof)
+    k_r_G = g1_from_bytes(tracker.k_r_G)
+    r_G = g1_from_bytes(tracker.r_G)
+    k_G = g1_from_bytes(k_commitment)
+    G = GENERATOR
+
+    transcript = Transcript(b"whisk_opening_proof")
+    transcript.append_points(b"tracker_opening_proof",
+                             [k_G, G, k_r_G, r_G, proof.A, proof.B])
+    challenge = transcript.get_and_append_challenge(
+        b"tracker_opening_proof_challenge")
+
+    A_prime = G.mul(proof.s).add(k_G.mul(challenge))
+    B_prime = r_G.mul(proof.s).add(k_r_G.mul(challenge))
+    return A_prime == proof.A and B_prime == proof.B
