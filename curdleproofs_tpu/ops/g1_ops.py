@@ -1,0 +1,149 @@
+"""Batched BLS12-381 G1 ops for TPU: branch-free complete projective formulas.
+
+Points are (X, Y, Z) homogeneous-projective limb arrays [..., 24] in Montgomery
+form; infinity is (0 : 1 : 0). The complete addition/doubling formulas
+(Renes–Costello–Batina 2016, algorithms 7/9 for a = 0) have no exceptional
+cases, so they vmap/vectorise with zero control flow — the TPU-native
+replacement for arkworks' branching Jacobian ops (`ark-ec`, SURVEY.md §2b).
+
+Cost: add = 12M + 2 const-mul; double = 6M + 2S + 1 const-mul (M = one batched
+CIOS limb multiply).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import CURVE_B, Q
+from ..host.field import batch_inversion
+from ..host.g1 import G1
+from .field import FQ
+from .limbs import FQ_LIMBS, ints_to_limbs, limbs_to_ints
+
+__all__ = ["PointsXYZ", "g1_add", "g1_double", "g1_select", "g1_zero_like",
+           "points_to_device", "points_from_device", "g1_infinity"]
+
+_B3 = 3 * CURVE_B  # 12
+
+
+class PointsXYZ(NamedTuple):
+    """A batch of projective points; each field is a [..., 24] uint32 array."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+
+def g1_infinity(batch_shape=()) -> PointsXYZ:
+    return PointsXYZ(
+        x=FQ.zeros(batch_shape),
+        y=FQ.const(1, batch_shape),
+        z=FQ.zeros(batch_shape),
+    )
+
+
+def g1_zero_like(p: PointsXYZ) -> PointsXYZ:
+    return g1_infinity(p.x.shape[:-1])
+
+
+def g1_add(p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
+    """Complete addition, a = 0 (RCB16 algorithm 7). Handles P=Q, ±, infinity."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    mul, add, sub, mc = FQ.mul, FQ.add, FQ.sub, FQ.mul_const
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = mul(add(X1, Y1), add(X2, Y2))
+    t3 = sub(t3, add(t0, t1))
+    t4 = mul(add(Y1, Z1), add(Y2, Z2))
+    t4 = sub(t4, add(t1, t2))
+    X3 = mul(add(X1, Z1), add(X2, Z2))
+    Y3 = sub(X3, add(t0, t2))
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = mc(t2, _B3)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mc(Y3, _B3)
+    X3 = sub(mul(t3, t1), mul(t4, Y3))
+    Y3 = add(mul(Y3, t0), mul(t1, Z3))
+    Z3 = add(mul(Z3, t4), mul(t0, t3))
+    return PointsXYZ(X3, Y3, Z3)
+
+
+def g1_double(p: PointsXYZ) -> PointsXYZ:
+    """Complete doubling, a = 0 (RCB16 algorithm 9)."""
+    X, Y, Z = p
+    mul, add, sub, mc = FQ.mul, FQ.add, FQ.sub, FQ.mul_const
+
+    t0 = mul(Y, Y)
+    Z3 = add(t0, t0)
+    Z3 = add(Z3, Z3)
+    Z3 = add(Z3, Z3)
+    t1 = mul(Y, Z)
+    t2 = mul(Z, Z)
+    t2 = mc(t2, _B3)
+    X3 = mul(t2, Z3)
+    Y3 = add(t0, t2)
+    Z3 = mul(t1, Z3)
+    t1 = add(t2, t2)
+    t2 = add(t1, t2)
+    t0 = sub(t0, t2)
+    Y3 = mul(t0, Y3)
+    Y3 = add(X3, Y3)
+    t1 = mul(X, Y)
+    X3 = mul(t0, t1)
+    X3 = add(X3, X3)
+    return PointsXYZ(X3, Y3, Z3)
+
+
+def g1_select(cond, p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
+    """Per-point select: cond broadcastable against [..., 1]."""
+    c = cond[..., None]
+    return PointsXYZ(jnp.where(c, p.x, q.x),
+                     jnp.where(c, p.y, q.y),
+                     jnp.where(c, p.z, q.z))
+
+
+# --- host <-> device conversion ------------------------------------------------
+
+def points_to_device(points: list[G1]) -> PointsXYZ:
+    """Host G1 list -> batched projective Montgomery limb arrays.
+
+    Normalises to affine on host (one batch inversion) so device Z is 0/1-mont.
+    """
+    affs = G1.batch_to_affine(points)
+    xs, ys, zs = [], [], []
+    for aff in affs:
+        if aff is None:
+            xs.append(0)
+            ys.append(FQ.to_mont(1))
+            zs.append(0)
+        else:
+            xs.append(FQ.to_mont(aff[0]))
+            ys.append(FQ.to_mont(aff[1]))
+            zs.append(FQ.to_mont(1))
+    return PointsXYZ(
+        x=jnp.asarray(ints_to_limbs(xs, FQ_LIMBS)),
+        y=jnp.asarray(ints_to_limbs(ys, FQ_LIMBS)),
+        z=jnp.asarray(ints_to_limbs(zs, FQ_LIMBS)),
+    )
+
+
+def points_from_device(p: PointsXYZ) -> list[G1]:
+    """Batched projective device points -> host G1 list (any batch rank 1)."""
+    xs = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.x))]
+    ys = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.y))]
+    zs = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.z))]
+    out = []
+    zinvs = batch_inversion(zs, Q)
+    for x, y, z, zi in zip(xs, ys, zs, zinvs):
+        if z == 0:
+            out.append(G1.infinity())
+        else:
+            out.append(G1.from_affine(x * zi % Q, y * zi % Q))
+    return out
