@@ -1,0 +1,82 @@
+"""TPU backend: routes the protocol's vector group math through device kernels.
+
+Implements the `curdleproofs_tpu.backend.Backend` interface. Inputs/outputs are
+host `G1` objects; conversion pads to power-of-two sizes so jit caches stay
+small (one compile per padded shape).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..backend import Backend
+from ..constants import R
+from ..host.g1 import G1
+from . import msm as msm_mod
+from .g1_ops import PointsXYZ, points_from_device, points_to_device
+from .limbs import ints_to_bits
+from .msm import NBITS, batch_mul_each_jit, batch_mul_jit, fold_jit, msm_jit
+
+__all__ = ["TpuBackend"]
+
+
+def _pad_pow2(n: int, floor: int = 8) -> int:
+    m = floor
+    while m < n:
+        m *= 2
+    return m
+
+
+class TpuBackend(Backend):
+    name = "tpu"
+
+    def __init__(self, min_device_size: int = 8):
+        # below this size the host path wins on latency
+        self.min_device_size = min_device_size
+        self._host = None
+
+    def _host_backend(self):
+        if self._host is None:
+            from ..backend import HostBackend
+
+            self._host = HostBackend()
+        return self._host
+
+    # --- primitives --------------------------------------------------------
+    def msm(self, points: list[G1], scalars: list[int]) -> G1:
+        n = len(points)
+        if n == 0:
+            return G1.infinity()
+        if n < self.min_device_size:
+            return self._host_backend().msm(points, scalars)
+        m = _pad_pow2(n)
+        pts = points_to_device(points + [G1.infinity()] * (m - n))
+        bits = jnp.asarray(ints_to_bits(list(scalars) + [0] * (m - n), NBITS))
+        out = msm_jit(pts, bits)
+        return points_from_device(
+            PointsXYZ(out.x[None], out.y[None], out.z[None]))[0]
+
+    def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
+        n = len(points)
+        if n < self.min_device_size:
+            return self._host_backend().batch_mul(points, scalar)
+        pts = points_to_device(points)
+        bits = jnp.asarray(ints_to_bits([scalar % R], NBITS)[0])
+        return points_from_device(batch_mul_jit(pts, bits))
+
+    def batch_mul_each(self, points: list[G1], scalars: list[int]) -> list[G1]:
+        n = len(points)
+        if n < self.min_device_size:
+            return self._host_backend().batch_mul_each(points, scalars)
+        pts = points_to_device(points)
+        bits = jnp.asarray(ints_to_bits([s % R for s in scalars], NBITS))
+        return points_from_device(batch_mul_each_jit(pts, bits))
+
+    def fold_points(self, left: list[G1], right: list[G1], gamma: int) -> list[G1]:
+        n = len(left)
+        if n < self.min_device_size:
+            return self._host_backend().fold_points(left, right, gamma)
+        dl = points_to_device(left)
+        dr = points_to_device(right)
+        bits = jnp.asarray(ints_to_bits([gamma % R], NBITS)[0])
+        return points_from_device(fold_jit(dl, dr, bits))

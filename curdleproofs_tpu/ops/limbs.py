@@ -34,40 +34,38 @@ def int_to_limbs(x: int, n_limbs: int) -> np.ndarray:
 
 
 def ints_to_limbs(xs: list[int], n_limbs: int) -> np.ndarray:
-    """List of ints -> [len(xs), n_limbs] uint32."""
-    out = np.empty((len(xs), n_limbs), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        for i in range(n_limbs):
-            out[j, i] = x & LIMB_MASK
-            x >>= LIMB_BITS
-        assert x == 0
-    return out
+    """List of ints -> [len(xs), n_limbs] uint32 (vectorised via LE bytes)."""
+    nbytes = n_limbs * (LIMB_BITS // 8)
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    le16 = np.frombuffer(buf, dtype="<u2").reshape(len(xs), n_limbs)
+    return le16.astype(np.uint32)
 
 
 def limbs_to_int(a) -> int:
     """[n_limbs] array -> int."""
-    a = np.asarray(a, dtype=np.uint64)
-    v = 0
-    for i in range(a.shape[-1] - 1, -1, -1):
-        v = (v << LIMB_BITS) | int(a[i])
-    return v
+    a = np.asarray(a, dtype=np.uint16)
+    return int.from_bytes(a.astype("<u2").tobytes(), "little")
 
 
 def limbs_to_ints(a) -> list[int]:
-    """[batch, n_limbs] array -> list of ints."""
-    a = np.asarray(a)
-    return [limbs_to_int(a[j]) for j in range(a.shape[0])]
+    """[batch, n_limbs] array -> list of ints (vectorised via LE bytes)."""
+    a = np.ascontiguousarray(np.asarray(a).astype("<u2"))
+    n, L = a.shape
+    nbytes = L * 2
+    raw = a.tobytes()
+    return [int.from_bytes(raw[j * nbytes : (j + 1) * nbytes], "little")
+            for j in range(n)]
 
 
 def int_to_bits(x: int, n_bits: int) -> np.ndarray:
     """Scalar -> [n_bits] uint32 bit array (LSB first)."""
-    return np.array([(x >> i) & 1 for i in range(n_bits)], dtype=np.uint32)
+    return ints_to_bits([x], n_bits)[0]
 
 
 def ints_to_bits(xs: list[int], n_bits: int) -> np.ndarray:
     """[len(xs)] scalars -> [len(xs), n_bits] uint32 bits (LSB first)."""
-    out = np.zeros((len(xs), n_bits), dtype=np.uint32)
-    for j, x in enumerate(xs):
-        for i in range(n_bits):
-            out[j, i] = (x >> i) & 1
-    return out
+    nbytes = (n_bits + 7) // 8
+    buf = b"".join(x.to_bytes(nbytes, "little") for x in xs)
+    by = np.frombuffer(buf, dtype=np.uint8).reshape(len(xs), nbytes)
+    bits = np.unpackbits(by, axis=1, bitorder="little")[:, :n_bits]
+    return bits.astype(np.uint32)

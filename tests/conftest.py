@@ -13,6 +13,13 @@ if not os.environ.get("CURDLEPROOFS_TPU_REAL"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the limb kernels are compile-heavy; reruns hit
+# the cache instead of recompiling (~30 s per MSM shape on CPU XLA).
+import jax as _jax  # noqa: E402
+
+_jax.config.update("jax_compilation_cache_dir", "/tmp/curdleproofs_jax_cache")
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end tests")
