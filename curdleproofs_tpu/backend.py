@@ -36,19 +36,52 @@ class Backend:
 
 
 class HostBackend(Backend):
+    """Host path: native C++ (64-bit-limb Montgomery) when built, Python ints
+    otherwise. Latency-optimal for small n; the golden model either way."""
+
     name = "host"
 
+    def __init__(self, allow_native: bool = True):
+        self._native = None
+        if allow_native:
+            try:
+                from .host import native
+
+                if native.available():
+                    self._native = native
+            except Exception:
+                self._native = None
+
     def msm(self, points: list[G1], scalars: list[int]) -> G1:
+        if not points:
+            return G1.infinity()
+        if self._native is not None and len(points) >= 2:
+            return self._native.msm(points, scalars)
         return _pippenger(points, scalars)
 
     def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
+        if self._native is not None and points:
+            return self._native.batch_mul(points, scalar)
         return [p.mul(scalar) for p in points]
 
     def batch_mul_each(self, points: list[G1], scalars: list[int]) -> list[G1]:
+        if self._native is not None and points:
+            return self._native.batch_mul_each(points, scalars)
         return [p.mul(s) for p, s in zip(points, scalars)]
 
     def fold_points(self, left: list[G1], right: list[G1], gamma: int) -> list[G1]:
+        if self._native is not None and left:
+            return self._native.fold(left, right, gamma)
         return [l.add(r.mul(gamma)) for l, r in zip(left, right)]
+
+
+class PurePythonBackend(HostBackend):
+    """Reference Python-int path (no native lib) — the test golden model."""
+
+    name = "pure-python"
+
+    def __init__(self):
+        super().__init__(allow_native=False)
 
 
 def _pippenger(points: list[G1], scalars: list[int], window: int | None = None) -> G1:

@@ -122,10 +122,12 @@ class G1:
         return self.neg()
 
     def mul(self, scalar: int) -> "G1":
-        """Scalar multiplication (double-and-add, MSB first)."""
+        """Scalar multiplication; routes big scalars to the native runtime."""
         s = scalar % R if scalar >= R or scalar < 0 else scalar
         if s == 0 or self.z == 0:
             return G1.infinity()
+        if s.bit_length() > 16 and _native_mul is not None:
+            return _native_mul(self, s)
         acc = G1.infinity()
         for bit in bin(s)[2:]:
             acc = acc.double()
@@ -137,6 +139,8 @@ class G1:
         """Unreduced scalar multiplication (cofactor clearing etc.)."""
         if scalar == 0 or self.z == 0:
             return G1.infinity()
+        if scalar.bit_length() > 16 and _native_mul_raw is not None:
+            return _native_mul_raw(self, scalar)
         acc = G1.infinity()
         for bit in bin(scalar)[2:]:
             acc = acc.double()
@@ -183,6 +187,27 @@ class G1:
 
 INFINITY = G1.infinity()
 GENERATOR = G1.from_affine(G1_GENERATOR_X, G1_GENERATOR_Y)
+
+# Optional native (C++) scalar-mul fast paths, resolved lazily to avoid an
+# import cycle; stay None if the native library cannot be built.
+_native_mul = None
+_native_mul_raw = None
+
+
+def _init_native() -> None:
+    global _native_mul, _native_mul_raw
+    try:
+        from . import native
+
+        if native.available():
+            _native_mul = native.mul
+            _native_mul_raw = native.mul_raw
+    except Exception:
+        _native_mul = None
+        _native_mul_raw = None
+
+
+_init_native()
 
 
 def g1_generator() -> G1:

@@ -8,7 +8,15 @@ key), with identical state transitions so challenge byte streams match bit-for-b
 
 from __future__ import annotations
 
-from .keccak import keccak_f1600
+from .keccak import keccak_f1600 as _py_keccak_f1600
+
+try:  # native C++ permutation (~1000x the Python one); same state transition
+    from . import native as _native
+
+    keccak_f1600 = (_native.keccak_f1600 if _native.available()
+                    else _py_keccak_f1600)
+except Exception:
+    keccak_f1600 = _py_keccak_f1600
 
 _STROBE_R = 166  # security 128: R = 200 - 128/4 - 2
 

@@ -1,0 +1,46 @@
+"""Sharded MSM on a virtual 8-device CPU mesh == single-chip == host."""
+
+import random
+
+import jax
+import pytest
+
+from curdleproofs_tpu.backend import HostBackend
+from curdleproofs_tpu.constants import R
+from curdleproofs_tpu.host.rng import StdRng
+from curdleproofs_tpu.parallel.sharded_msm import make_msm_mesh, sharded_msm
+
+rnd = random.Random(7)
+
+
+@pytest.fixture(scope="module")
+def points64():
+    rng = StdRng.seed_from_u64(11)
+    return [rng.rand_g1() for _ in range(64)]
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_msm_matches_host(points64):
+    scalars = [rnd.randrange(R) for _ in range(64)]
+    mesh = make_msm_mesh(8)
+    got = sharded_msm(points64, scalars, mesh)
+    assert got == HostBackend().msm(points64, scalars)
+
+
+def test_sharded_msm_ragged_and_small(points64):
+    # n=11 pads to 16 over 8 devices (2 points/device)
+    pts = points64[:11]
+    scalars = [rnd.randrange(R) for _ in range(11)]
+    mesh = make_msm_mesh(8)
+    got = sharded_msm(pts, scalars, mesh)
+    assert got == HostBackend().msm(pts, scalars)
+
+
+def test_sharded_msm_on_sub_mesh(points64):
+    scalars = [rnd.randrange(R) for _ in range(64)]
+    mesh = make_msm_mesh(4)
+    got = sharded_msm(points64, scalars, mesh)
+    assert got == HostBackend().msm(points64, scalars)
