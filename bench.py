@@ -1,0 +1,142 @@
+"""Benchmark harness. Prints ONE JSON line with the headline metric.
+
+Headline: ell=252 shuffle-proof prover wall time vs the reference's published
+560 ms (Intel i7-8550U, /root/reference/README.md:49; see BASELINE.md).
+Sub-metrics (verify, shuffle, MSM throughput) ride in "extra".
+
+Run on real hardware:  python bench.py           (uses the default backend)
+Quick mode:            python bench.py --ell 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("CURDLEPROOFS_TPU_REAL", "1")
+
+BASELINES_MS = {  # README.md:47-49 (prove, verify, shuffle)
+    60: (177.0, 22.0, 28.0),
+    124: (304.0, 27.0, 57.0),
+    252: (560.0, 35.0, 121.0),
+}
+
+
+def bench_protocol(ell: int, repeats: int = 3):
+    from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
+    from curdleproofs_tpu.host.rng import StdRng
+    from curdleproofs_tpu.util import (
+        generate_blinders, get_permutation, msm,
+    )
+    from curdleproofs_tpu.backend import get_backend
+
+    rng = StdRng.seed_from_u64(0)
+    crs = generate_crs(ell)
+
+    permutation = list(range(ell))
+    rng.shuffle(permutation)
+    k = rng.rand_fr()
+    vec_r_m = generate_blinders(rng, 4)
+    vec_R = [rng.rand_g1() for _ in range(ell)]
+    vec_S = [rng.rand_g1() for _ in range(ell)]
+
+    backend = get_backend()
+
+    # --- shuffling (2*ell scalar muls + permute), as in benches/perf.rs:51-58
+    t_sh = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        vec_T = get_permutation(backend.batch_mul(vec_R, k), permutation)
+        vec_U = get_permutation(backend.batch_mul(vec_S, k), permutation)
+        t_sh.append(time.perf_counter() - t0)
+
+    sigma = get_permutation(list(range(ell)), permutation)
+    M = msm(crs.vec_G, sigma).add(msm(crs.vec_H, vec_r_m))
+
+    # --- prover
+    t_pr = []
+    proof = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        proof = CurdleproofsProof.new(crs, vec_R, vec_S, vec_T, vec_U, M,
+                                      permutation, k, vec_r_m, rng)
+        t_pr.append(time.perf_counter() - t0)
+
+    # --- verifier (pure verify on parsed objects, as in benches/perf.rs:99-105)
+    t_vf = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        proof.verify(crs, vec_R, vec_S, vec_T, vec_U, M, rng)
+        t_vf.append(time.perf_counter() - t0)
+
+    return min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3
+
+
+def bench_msm_throughput(log_n: int = 12):
+    """Device MSM scalar-muls/sec/chip at 2^log_n points."""
+    import jax
+    import jax.numpy as jnp
+
+    from curdleproofs_tpu.host.rng import StdRng
+    from curdleproofs_tpu.ops.g1_ops import points_to_device
+    from curdleproofs_tpu.ops.limbs import ints_to_bits
+    from curdleproofs_tpu.ops.msm import NBITS, msm_jit
+
+    n = 1 << log_n
+    rng = StdRng.seed_from_u64(1)
+    base = [rng.rand_g1() for _ in range(64)]
+    pts = points_to_device([base[i % 64] for i in range(n)])
+    bits = jnp.asarray(ints_to_bits([rng.rand_fr() for _ in range(n)], NBITS))
+
+    out = msm_jit(pts, bits)
+    jax.block_until_ready(out)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = msm_jit(pts, bits)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt  # scalar-muls per second
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ell", type=int, default=252)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--msm-logn", type=int, default=12)
+    ap.add_argument("--skip-msm", action="store_true")
+    args = ap.parse_args()
+
+    shuffle_ms, prove_ms, verify_ms = bench_protocol(args.ell, args.repeats)
+    base_prove, base_verify, base_shuffle = BASELINES_MS.get(
+        args.ell, BASELINES_MS[252])
+
+    extra = {
+        "ell": args.ell,
+        "verify_ms": round(verify_ms, 2),
+        "verify_vs_baseline": round(base_verify / verify_ms, 3),
+        "shuffle_ms": round(shuffle_ms, 2),
+        "shuffle_vs_baseline": round(base_shuffle / shuffle_ms, 3),
+        "baseline_hw": "i7-8550U (reference README)",
+    }
+    if not args.skip_msm:
+        try:
+            msm_rate = bench_msm_throughput(args.msm_logn)
+            extra["device_msm_scalar_muls_per_s"] = round(msm_rate, 1)
+            extra["device_msm_log_n"] = args.msm_logn
+        except Exception as e:  # no TPU available etc.
+            extra["device_msm_error"] = repr(e)[:200]
+
+    print(json.dumps({
+        "metric": f"prove_ell{args.ell}_ms",
+        "value": round(prove_ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(base_prove / prove_ms, 3),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

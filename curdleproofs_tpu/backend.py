@@ -61,17 +61,17 @@ class HostBackend(Backend):
 
     def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
         if self._native is not None and points:
-            return self._native.batch_mul(points, scalar)
+            return self._native.batch_mul_glv(points, scalar)
         return [p.mul(scalar) for p in points]
 
     def batch_mul_each(self, points: list[G1], scalars: list[int]) -> list[G1]:
         if self._native is not None and points:
-            return self._native.batch_mul_each(points, scalars)
+            return self._native.batch_mul_each_glv(points, scalars)
         return [p.mul(s) for p, s in zip(points, scalars)]
 
     def fold_points(self, left: list[G1], right: list[G1], gamma: int) -> list[G1]:
         if self._native is not None and left:
-            return self._native.fold(left, right, gamma)
+            return self._native.fold_glv(left, right, gamma)
         return [l.add(r.mul(gamma)) for l, r in zip(left, right)]
 
 

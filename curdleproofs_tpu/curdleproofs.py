@@ -119,9 +119,30 @@ class CurdleproofsProof:
         rng: StdRng,
     ) -> None:
         """Raises VerificationError on any failed check."""
+        msm_accumulator = MsmAccumulator()
+        self.verify_with_accumulator(crs, vec_R, vec_S, vec_T, vec_U, M,
+                                     msm_accumulator, rng)
+        msm_accumulator.verify()
+
+    def verify_with_accumulator(
+        self,
+        crs: CurdleproofsCrs,
+        vec_R: list[G1],
+        vec_S: list[G1],
+        vec_T: list[G1],
+        vec_U: list[G1],
+        M: G1,
+        msm_accumulator: MsmAccumulator,
+        rng: StdRng,
+    ) -> None:
+        """All checks except the accumulator's final MSM (caller runs that).
+
+        Sharing one accumulator across many proofs batch-verifies them with a
+        single deduped MSM (CRS bases dedup across the whole batch) — see
+        parallel/batch_verify.py.
+        """
         ell = len(vec_R)
         transcript = Transcript(b"curdleproofs")
-        msm_accumulator = MsmAccumulator()
 
         # k = 0 attack: randomizer must not wipe out the ciphertexts
         if vec_T[0].is_infinity():
@@ -160,8 +181,6 @@ class CurdleproofsProof:
         # R/S consistency
         msm_accumulator.accumulate_check(self.R, vec_a, vec_R, rng)
         msm_accumulator.accumulate_check(self.S, vec_a, vec_S, rng)
-
-        msm_accumulator.verify()
 
     # --- serde (curdleproofs.rs:300-323) --------------------------------------
     def serialize(self) -> bytes:

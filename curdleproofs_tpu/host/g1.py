@@ -41,14 +41,21 @@ class G1:
 
     # --- normalisation ----------------------------------------------------
     def to_affine(self) -> tuple[int, int] | None:
-        """Return (x, y) affine coordinates, or None for infinity."""
+        """Return (x, y) affine coordinates, or None for infinity.
+
+        Normalises in place (z -> 1) so repeated serialisation/appends of the
+        same object pay the inversion once. Value is unchanged.
+        """
         if self.z == 0:
             return None
         if self.z == 1:
             return (self.x, self.y)
         zinv = pow(self.z, -1, Q)
         zinv2 = zinv * zinv % Q
-        return (self.x * zinv2 % Q, self.y * zinv2 % Q * zinv % Q)
+        self.x = self.x * zinv2 % Q
+        self.y = self.y * zinv2 % Q * zinv % Q
+        self.z = 1
+        return (self.x, self.y)
 
     @staticmethod
     def batch_to_affine(points: list["G1"]) -> list[tuple[int, int] | None]:
@@ -200,7 +207,7 @@ def _init_native() -> None:
         from . import native
 
         if native.available():
-            _native_mul = native.mul
+            _native_mul = native.mul_glv
             _native_mul_raw = native.mul_raw
     except Exception:
         _native_mul = None

@@ -38,6 +38,13 @@ def lib() -> ctypes.CDLL | None:
         "cp_keccak_f1600": [ctypes.c_char_p],
         "cp_mul_raw": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                        ctypes.c_char_p],
+        "cp_dual_mul": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+                        ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_char_p],
+        "cp_dual_mul_each": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                             ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p],
     }.items():
         fn = getattr(cdll, name)
         fn.argtypes = argtypes
@@ -76,6 +83,74 @@ def pts_from_bytes(buf: bytes, n: int) -> list[G1]:
 
 
 # --- high-level wrappers -------------------------------------------------------
+
+_GLV = None
+
+
+def _glv():
+    global _GLV
+    if _GLV is None:
+        from .. import glv as _g
+
+        _GLV = _g
+    return _GLV
+
+
+def _dual_args(scalar: int):
+    g = _glv()
+    k1, k2 = g.decompose(scalar % R)
+    nbits = max(abs(k1).bit_length(), abs(k2).bit_length(), 1)
+    return (abs(k1).to_bytes(32, "little"), 1 if k1 < 0 else 0,
+            abs(k2).to_bytes(32, "little"), 1 if k2 < 0 else 0, nbits,
+            (g.BETA).to_bytes(48, "little"))
+
+
+def mul_glv(p: G1, scalar: int) -> G1:
+    """k*P via the GLV dual-scalar path (~1.7x the plain ladder)."""
+    k1b, n1, k2b, n2, nbits, beta = _dual_args(scalar)
+    out = ctypes.create_string_buffer(_POINT)
+    lib().cp_dual_mul(None, _pt_to_bytes(p), 1, beta, k1b, n1, k2b, n2,
+                      nbits, out)
+    return pts_from_bytes(out.raw, 1)[0]
+
+
+def batch_mul_glv(points: list[G1], scalar: int) -> list[G1]:
+    n = len(points)
+    k1b, n1, k2b, n2, nbits, beta = _dual_args(scalar)
+    out = ctypes.create_string_buffer(_POINT * n)
+    lib().cp_dual_mul(None, pts_to_bytes(points), n, beta, k1b, n1, k2b, n2,
+                      nbits, out)
+    return pts_from_bytes(out.raw, n)
+
+
+def fold_glv(left: list[G1], right: list[G1], gamma: int) -> list[G1]:
+    n = len(left)
+    k1b, n1, k2b, n2, nbits, beta = _dual_args(gamma)
+    out = ctypes.create_string_buffer(_POINT * n)
+    lib().cp_dual_mul(pts_to_bytes(left), pts_to_bytes(right), n, beta,
+                      k1b, n1, k2b, n2, nbits, out)
+    return pts_from_bytes(out.raw, n)
+
+
+def batch_mul_each_glv(points: list[G1], scalars: list[int]) -> list[G1]:
+    g = _glv()
+    n = len(points)
+    k1s, negs1, k2s, negs2 = bytearray(), bytearray(), bytearray(), bytearray()
+    nbits = 1
+    for s in scalars:
+        k1, k2 = g.decompose(s % R)
+        nbits = max(nbits, abs(k1).bit_length(), abs(k2).bit_length())
+        k1s += abs(k1).to_bytes(32, "little")
+        k2s += abs(k2).to_bytes(32, "little")
+        negs1.append(1 if k1 < 0 else 0)
+        negs2.append(1 if k2 < 0 else 0)
+    out = ctypes.create_string_buffer(_POINT * n)
+    lib().cp_dual_mul_each(pts_to_bytes(points), n,
+                           g.BETA.to_bytes(48, "little"),
+                           bytes(k1s), bytes(negs1), bytes(k2s), bytes(negs2),
+                           nbits, out)
+    return pts_from_bytes(out.raw, n)
+
 
 def msm(points: list[G1], scalars: list[int]) -> G1:
     l = lib()

@@ -181,16 +181,26 @@ void g1_double(const G1 &p, G1 &r) {
     r.y = y3;
 }
 
+inline bool fq_is_one_mont(const Fq &a) {
+    return std::memcmp(a.l, ONE_MONT, 48) == 0;
+}
+
 void g1_add(const G1 &p, const G1 &q, G1 &r) {
     if (g1_is_inf(p)) { r = q; return; }
     if (g1_is_inf(q)) { r = p; return; }
     Fq Z1Z1, Z2Z2, U1, U2, S1, S2, t;
+    bool q_affine = fq_is_one_mont(q.z);
     fq_sqr(p.z, Z1Z1);
-    fq_sqr(q.z, Z2Z2);
-    fq_mul(p.x, Z2Z2, U1);
+    if (q_affine) {  // mixed addition: skip 4 muls
+        U1 = p.x;
+        S1 = p.y;
+    } else {
+        fq_sqr(q.z, Z2Z2);
+        fq_mul(p.x, Z2Z2, U1);
+        fq_mul(p.y, q.z, t);
+        fq_mul(t, Z2Z2, S1);
+    }
     fq_mul(q.x, Z1Z1, U2);
-    fq_mul(p.y, q.z, t);
-    fq_mul(t, Z2Z2, S1);
     fq_mul(q.y, p.z, t);
     fq_mul(t, Z1Z1, S2);
 
@@ -292,8 +302,47 @@ int pick_window(size_t n) {
     return c > 13 ? 13 : c;
 }
 
+static inline unsigned extract_digit(const uint8_t *s, int bit_lo, int c) {
+    unsigned digit = 0;
+    for (int k = 0; k < c; ++k) {
+        int bit = bit_lo + k;
+        if (bit >= 256) break;
+        digit |= (((s[bit >> 3] >> (bit & 7)) & 1u) << k);
+    }
+    return digit;
+}
+
+// Straus interleaved MSM: one shared doubling chain, per-point 4-bit tables.
+// Wins for small n (the protocol's sub-argument MSMs are n = logn .. 2n).
+void msm_straus(const G1 *pts, const uint8_t *scalars, size_t n, G1 &out) {
+    const int C = 4;
+    const int DIGITS = (255 + C - 1) / C;  // 64
+    std::vector<G1> table(n * 15);         // table[i][d-1] = d * P_i
+    for (size_t i = 0; i < n; ++i) {
+        G1 *t = &table[i * 15];
+        t[0] = pts[i];
+        for (int d = 2; d <= 15; ++d) {
+            if (d % 2 == 0) g1_double(t[d / 2 - 1], t[d - 1]);
+            else g1_add(t[d - 2], pts[i], t[d - 1]);
+        }
+    }
+    g1_set_inf(out);
+    for (int w = DIGITS - 1; w >= 0; --w) {
+        for (int k = 0; k < C; ++k) g1_double(out, out);
+        for (size_t i = 0; i < n; ++i) {
+            unsigned digit = extract_digit(scalars + 32 * i, w * C, C);
+            if (digit) {
+                G1 t;
+                g1_add(out, table[i * 15 + digit - 1], t);
+                out = t;
+            }
+        }
+    }
+}
+
 void msm_impl(const G1 *pts, const uint8_t *scalars, size_t n, G1 &out) {
     const int NB = 255;
+    if (n <= 48) { msm_straus(pts, scalars, n, out); return; }
     int c = pick_window(n);
     int windows = (NB + c - 1) / c;
     std::vector<G1> buckets((size_t)1 << c);
@@ -302,28 +351,23 @@ void msm_impl(const G1 *pts, const uint8_t *scalars, size_t n, G1 &out) {
     for (int w = windows - 1; w >= 0; --w) {
         for (int k = 0; k < c; ++k) g1_double(out, out);
         size_t nb = (size_t)1 << c;
+        size_t max_bucket = 0;
         for (size_t b = 0; b < nb; ++b) g1_set_inf(buckets[b]);
         int bit_lo = w * c;
         for (size_t i = 0; i < n; ++i) {
-            const uint8_t *s = scalars + 32 * i;
-            // extract digit bits [bit_lo, bit_lo + c)
-            unsigned digit = 0;
-            for (int k = 0; k < c; ++k) {
-                int bit = bit_lo + k;
-                if (bit >= NB + 1) break;
-                unsigned v = (s[bit >> 3] >> (bit & 7)) & 1;
-                digit |= v << k;
-            }
+            unsigned digit = extract_digit(scalars + 32 * i, bit_lo, c);
             if (digit) {
                 G1 t;
                 g1_add(buckets[digit], pts[i], t);
                 buckets[digit] = t;
+                if (digit > max_bucket) max_bucket = digit;
             }
         }
+        if (!max_bucket) continue;
         G1 running, wsum, t;
         g1_set_inf(running);
         g1_set_inf(wsum);
-        for (size_t b = nb - 1; b >= 1; --b) {
+        for (size_t b = max_bucket; b >= 1; --b) {
             g1_add(running, buckets[b], t);
             running = t;
             g1_add(wsum, running, t);
@@ -467,6 +511,96 @@ void cp_mul_raw(const uint8_t *p, const uint8_t *scalar, uint64_t scalar_len,
         }
     }
     store_g1(r, out);
+}
+
+}  // extern "C"
+
+// ---- GLV dual-scalar multiplication ----
+// out[i] = (left ? left[i] : 0) + k1*P_i + k2*phi(P_i), phi = (beta*x, y, z)
+// k1/k2: |value| as 32-byte LE + sign flags; nbits bounds both bit lengths.
+
+namespace {
+
+void g1_neg_inplace(G1 &p) {
+    if (!g1_is_inf(p)) fq_neg(p.y, p.y);
+}
+
+void build_table15(const G1 &p, G1 *t) {  // t[d-1] = d*p, d = 1..15
+    t[0] = p;
+    for (int d = 2; d <= 15; ++d) {
+        if (d % 2 == 0) g1_double(t[d / 2 - 1], t[d - 1]);
+        else g1_add(t[d - 2], p, t[d - 1]);
+    }
+}
+
+void dual_mul_core(const G1 &base, const Fq &beta_mont,
+                   const uint8_t *k1, int neg1,
+                   const uint8_t *k2, int neg2, int nbits,
+                   const G1 *left, G1 &out) {
+    G1 r1 = base;
+    if (neg1) g1_neg_inplace(r1);
+    G1 r2 = base;
+    fq_mul(r2.x, beta_mont, r2.x);
+    if (neg2) g1_neg_inplace(r2);
+
+    G1 t1[15], t2[15];
+    build_table15(r1, t1);
+    build_table15(r2, t2);
+
+    const int C = 4;
+    int windows = (nbits + C - 1) / C;
+    G1 acc;
+    g1_set_inf(acc);
+    G1 tmp;
+    for (int w = windows - 1; w >= 0; --w) {
+        for (int k = 0; k < C; ++k) g1_double(acc, acc);
+        unsigned d1 = extract_digit(k1, w * C, C);
+        unsigned d2 = extract_digit(k2, w * C, C);
+        if (d1) { g1_add(acc, t1[d1 - 1], tmp); acc = tmp; }
+        if (d2) { g1_add(acc, t2[d2 - 1], tmp); acc = tmp; }
+    }
+    if (left) { g1_add(acc, *left, tmp); acc = tmp; }
+    out = acc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// mode: 0 = batch_mul (same k for all points, no left)
+//       1 = fold (left provided)
+void cp_dual_mul(const uint8_t *left_bytes, const uint8_t *points,
+                 uint64_t n, const uint8_t *beta48,
+                 const uint8_t *k1, int32_t neg1,
+                 const uint8_t *k2, int32_t neg2, int32_t nbits,
+                 uint8_t *out) {
+    Fq beta;
+    load_fq(beta48, beta);
+    for (uint64_t i = 0; i < n; ++i) {
+        G1 base, l, r;
+        load_g1(points + 144 * i, base);
+        if (left_bytes) load_g1(left_bytes + 144 * i, l);
+        dual_mul_core(base, beta, k1, neg1, k2, neg2, nbits,
+                      left_bytes ? &l : nullptr, r);
+        store_g1(r, out + 144 * i);
+    }
+}
+
+// per-point scalars, pre-decomposed: k1s/k2s are n*32 bytes, negs are n int8
+void cp_dual_mul_each(const uint8_t *points, uint64_t n,
+                      const uint8_t *beta48,
+                      const uint8_t *k1s, const int8_t *negs1,
+                      const uint8_t *k2s, const int8_t *negs2,
+                      int32_t nbits, uint8_t *out) {
+    Fq beta;
+    load_fq(beta48, beta);
+    for (uint64_t i = 0; i < n; ++i) {
+        G1 base, r;
+        load_g1(points + 144 * i, base);
+        dual_mul_core(base, beta, k1s + 32 * i, negs1[i], k2s + 32 * i,
+                      negs2[i], nbits, nullptr, r);
+        store_g1(r, out + 144 * i);
+    }
 }
 
 }  // extern "C"

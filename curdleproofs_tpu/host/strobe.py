@@ -54,9 +54,18 @@ class Strobe128:
 
     def _absorb(self, data: bytes) -> None:
         st = self.state
-        for byte in data:
-            st[self.pos] ^= byte
-            self.pos += 1
+        off = 0
+        n = len(data)
+        while off < n:
+            take = min(n - off, _STROBE_R - self.pos)
+            chunk = data[off : off + take]
+            seg = bytes(a ^ b for a, b in zip(st[self.pos : self.pos + take],
+                                              chunk)) if take < 32 else (
+                int.from_bytes(st[self.pos : self.pos + take], "little")
+                ^ int.from_bytes(chunk, "little")).to_bytes(take, "little")
+            st[self.pos : self.pos + take] = seg
+            self.pos += take
+            off += take
             if self.pos == _STROBE_R:
                 self._run_f()
 

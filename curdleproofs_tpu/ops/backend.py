@@ -54,7 +54,7 @@ class TpuBackend(Backend):
         bits = jnp.asarray(ints_to_bits(list(scalars) + [0] * (m - n), NBITS))
         out = msm_jit(pts, bits)
         return points_from_device(
-            PointsXYZ(out.x[None], out.y[None], out.z[None]))[0]
+            PointsXYZ(out.x[:, None], out.y[:, None], out.z[:, None]))[0]
 
     def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
         n = len(points)

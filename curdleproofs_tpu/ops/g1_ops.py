@@ -1,19 +1,22 @@
 """Batched BLS12-381 G1 ops for TPU: branch-free complete projective formulas.
 
-Points are (X, Y, Z) homogeneous-projective limb arrays [..., 24] in Montgomery
-form; infinity is (0 : 1 : 0). The complete addition/doubling formulas
-(Renes–Costello–Batina 2016, algorithms 7/9 for a = 0) have no exceptional
-cases, so they vmap/vectorise with zero control flow — the TPU-native
+Points are (X, Y, Z) homogeneous-projective limb-major arrays [24, *batch] in
+Montgomery form; infinity is (0 : 1 : 0). The complete addition/doubling
+formulas (Renes–Costello–Batina 2016, algorithms 7/9 for a = 0) have no
+exceptional cases, so they vectorise with zero control flow — the TPU-native
 replacement for arkworks' branching Jacobian ops (`ark-ec`, SURVEY.md §2b).
 
-Cost: add = 12M + 2 const-mul; double = 6M + 2S + 1 const-mul (M = one batched
-CIOS limb multiply).
+When running on a real TPU, wide adds dispatch to the Pallas kernel
+(ops/pallas_kernels.py, ~85x the lax-loop path); the jnp path remains the
+portable fallback (CPU tests, odd shapes).
 """
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,17 +26,25 @@ from ..host.g1 import G1
 from .field import FQ
 from .limbs import FQ_LIMBS, ints_to_limbs, limbs_to_ints
 
-__all__ = ["PointsXYZ", "g1_add", "g1_double", "g1_select", "g1_zero_like",
-           "points_to_device", "points_from_device", "g1_infinity"]
+__all__ = ["PointsXYZ", "g1_add", "g1_double", "g1_select", "g1_infinity",
+           "points_to_device", "points_from_device", "use_pallas"]
 
 _B3 = 3 * CURVE_B  # 12
 
 
 class PointsXYZ(NamedTuple):
-    """A batch of projective points; each field is a [..., 24] uint32 array."""
+    """A batch of projective points; each field is a [24, *batch] uint32 array."""
     x: jnp.ndarray
     y: jnp.ndarray
     z: jnp.ndarray
+
+
+def use_pallas() -> bool:
+    """Dispatch wide point ops to the Pallas kernels? (real TPU only)."""
+    env = os.environ.get("CURDLEPROOFS_USE_PALLAS")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def g1_infinity(batch_shape=()) -> PointsXYZ:
@@ -44,11 +55,7 @@ def g1_infinity(batch_shape=()) -> PointsXYZ:
     )
 
 
-def g1_zero_like(p: PointsXYZ) -> PointsXYZ:
-    return g1_infinity(p.x.shape[:-1])
-
-
-def g1_add(p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
+def _g1_add_jnp(p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
     """Complete addition, a = 0 (RCB16 algorithm 7). Handles P=Q, ±, infinity."""
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
@@ -73,6 +80,18 @@ def g1_add(p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
     Y3 = add(mul(Y3, t0), mul(t1, Z3))
     Z3 = add(mul(Z3, t4), mul(t0, t3))
     return PointsXYZ(X3, Y3, Z3)
+
+
+def g1_add(p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
+    """Complete add; routes wide batches to the Pallas kernel on TPU."""
+    if use_pallas():
+        batch = jnp.broadcast_shapes(p.x.shape[1:], q.x.shape[1:])
+        width = int(np.prod(batch)) if batch else 1
+        if width >= 256:
+            from .pallas_kernels import g1_add_pallas_flat
+
+            return g1_add_pallas_flat(p, q, batch)
+    return _g1_add_jnp(p, q)
 
 
 def g1_double(p: PointsXYZ) -> PointsXYZ:
@@ -102,8 +121,8 @@ def g1_double(p: PointsXYZ) -> PointsXYZ:
 
 
 def g1_select(cond, p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
-    """Per-point select: cond broadcastable against [..., 1]."""
-    c = cond[..., None]
+    """Per-point select: cond has batch shape (no limb axis)."""
+    c = cond[None]
     return PointsXYZ(jnp.where(c, p.x, q.x),
                      jnp.where(c, p.y, q.y),
                      jnp.where(c, p.z, q.z))
@@ -112,7 +131,7 @@ def g1_select(cond, p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
 # --- host <-> device conversion ------------------------------------------------
 
 def points_to_device(points: list[G1]) -> PointsXYZ:
-    """Host G1 list -> batched projective Montgomery limb arrays.
+    """Host G1 list -> limb-major projective Montgomery arrays [24, N].
 
     Normalises to affine on host (one batch inversion) so device Z is 0/1-mont.
     """
@@ -128,17 +147,17 @@ def points_to_device(points: list[G1]) -> PointsXYZ:
             ys.append(FQ.to_mont(aff[1]))
             zs.append(FQ.to_mont(1))
     return PointsXYZ(
-        x=jnp.asarray(ints_to_limbs(xs, FQ_LIMBS)),
-        y=jnp.asarray(ints_to_limbs(ys, FQ_LIMBS)),
-        z=jnp.asarray(ints_to_limbs(zs, FQ_LIMBS)),
+        x=jnp.asarray(ints_to_limbs(xs, FQ_LIMBS).T),
+        y=jnp.asarray(ints_to_limbs(ys, FQ_LIMBS).T),
+        z=jnp.asarray(ints_to_limbs(zs, FQ_LIMBS).T),
     )
 
 
 def points_from_device(p: PointsXYZ) -> list[G1]:
-    """Batched projective device points -> host G1 list (any batch rank 1)."""
-    xs = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.x))]
-    ys = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.y))]
-    zs = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.z))]
+    """Limb-major device points [24, N] -> host G1 list."""
+    xs = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.x).T)]
+    ys = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.y).T)]
+    zs = [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(p.z).T)]
     out = []
     zinvs = batch_inversion(zs, Q)
     for x, y, z, zi in zip(xs, ys, zs, zinvs):

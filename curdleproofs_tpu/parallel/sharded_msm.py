@@ -50,23 +50,30 @@ def sharded_msm_kernel(mesh: Mesh, axis: str = "points"):
     n_dev = mesh.devices.size
 
     def _local(pts: PointsXYZ, bits: jnp.ndarray) -> PointsXYZ:
-        local_sums = _masked_bit_sums(pts, bits)           # [NBITS] partials
-        gathered = lax.all_gather(local_sums, axis)        # [D, NBITS]
+        local_sums = _masked_bit_sums(pts, bits)        # [24, NBITS] partials
+        gathered = lax.all_gather(local_sums, axis)     # [D, 24, NBITS]
+        # limb axis back in front: [24, D, NBITS], then tree-reduce over D
+        cur = PointsXYZ(jnp.moveaxis(gathered.x, 0, 1),
+                        jnp.moveaxis(gathered.y, 0, 1),
+                        jnp.moveaxis(gathered.z, 0, 1))
         d = n_dev
-        cur = gathered
         while d > 1:
             half = d // 2
             cur = g1_add(
-                PointsXYZ(cur.x[:half], cur.y[:half], cur.z[:half]),
-                PointsXYZ(cur.x[half:d], cur.y[half:d], cur.z[half:d]))
+                PointsXYZ(cur.x[:, :half], cur.y[:, :half], cur.z[:, :half]),
+                PointsXYZ(cur.x[:, half:d], cur.y[:, half:d], cur.z[:, half:d]))
             d = half
-        sums = PointsXYZ(cur.x[0], cur.y[0], cur.z[0])     # [NBITS]
-        return _horner(sums)                               # replicated
+        sums = PointsXYZ(cur.x[:, 0], cur.y[:, 0], cur.z[:, 0])  # [24, NBITS]
+        return _horner(sums)                            # replicated
 
     mapped = jax.shard_map(
         _local, mesh=mesh,
-        in_specs=(PointsXYZ(P(axis), P(axis), P(axis)), P(axis)),
+        in_specs=(PointsXYZ(P(None, axis), P(None, axis), P(None, axis)),
+                  P(axis)),
         out_specs=PointsXYZ(P(), P(), P()),
+        # the all_gather + replicated tree reduction makes every device hold
+        # the same value, but the static vma check can't see that
+        check_vma=False,
     )
     return jax.jit(mapped)
 
@@ -84,4 +91,5 @@ def sharded_msm(points: list[G1], scalars: list[int],
     pts = points_to_device(list(points) + [G1.infinity()] * (m - n))
     bits = jnp.asarray(ints_to_bits(list(scalars) + [0] * (m - n), NBITS))
     out = sharded_msm_kernel(mesh)(pts, bits)
-    return points_from_device(PointsXYZ(out.x[None], out.y[None], out.z[None]))[0]
+    return points_from_device(
+        PointsXYZ(out.x[:, None], out.y[:, None], out.z[:, None]))[0]

@@ -1,0 +1,53 @@
+"""Batched verification: shared-accumulator semantics + sharded final MSM."""
+
+import pytest
+
+from curdleproofs_tpu.constants import N_BLINDERS
+from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
+from curdleproofs_tpu.host.rng import StdRng
+from curdleproofs_tpu.parallel.batch_verify import ShuffleInstance, batch_verify
+from curdleproofs_tpu.parallel.sharded_msm import make_msm_mesh
+from curdleproofs_tpu.util import shuffle_permute_and_commit_input
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = StdRng.seed_from_u64(0)
+    ell = 16 - N_BLINDERS
+    crs = generate_crs(ell)
+    instances, proofs = [], []
+    for _ in range(3):
+        perm = list(range(ell))
+        rng.shuffle(perm)
+        k = rng.rand_fr()
+        vec_R = [rng.rand_g1() for _ in range(ell)]
+        vec_S = [rng.rand_g1() for _ in range(ell)]
+        vec_T, vec_U, M, mb = shuffle_permute_and_commit_input(
+            crs, vec_R, vec_S, perm, k, rng)
+        proofs.append(CurdleproofsProof.new(crs, vec_R, vec_S, vec_T, vec_U,
+                                            M, perm, k, mb, rng))
+        instances.append(ShuffleInstance(vec_R, vec_S, vec_T, vec_U, M))
+    return crs, instances, proofs, rng
+
+
+def test_batch_verify_valid(batch):
+    crs, instances, proofs, rng = batch
+    assert batch_verify(crs, instances, proofs, rng) is True
+
+
+def test_batch_verify_detects_one_bad(batch):
+    crs, instances, proofs, rng = batch
+    bad = ShuffleInstance(instances[1].vec_S, instances[1].vec_R,
+                          instances[1].vec_T, instances[1].vec_U,
+                          instances[1].M)
+    tampered = [instances[0], bad, instances[2]]
+    assert batch_verify(crs, tampered, proofs, rng) is False
+    verdicts = batch_verify(crs, tampered, proofs, rng, identify=True)
+    assert verdicts == [True, False, True]
+
+
+@pytest.mark.slow
+def test_batch_verify_sharded_mesh(batch):
+    crs, instances, proofs, rng = batch
+    mesh = make_msm_mesh(8)
+    assert batch_verify(crs, instances, proofs, rng, mesh=mesh) is True

@@ -35,11 +35,12 @@ def _vals(n):
 
 
 def _dev(vals):
-    return jnp.asarray(ints_to_limbs([FQ.to_mont(v) for v in vals], FQ_LIMBS))
+    # limb-major [24, B]
+    return jnp.asarray(ints_to_limbs([FQ.to_mont(v) for v in vals], FQ_LIMBS).T)
 
 
 def _host(arr):
-    return [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(arr))]
+    return [FQ.from_mont(v) for v in limbs_to_ints(np.asarray(arr).T)]
 
 
 def test_fq_add_sub_neg_mul():
