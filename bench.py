@@ -17,6 +17,17 @@ import time
 
 os.environ.setdefault("CURDLEPROOFS_TPU_REAL", "1")
 
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/curdleproofs_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 BASELINES_MS = {  # README.md:47-49 (prove, verify, shuffle)
     60: (177.0, 22.0, 28.0),
     124: (304.0, 27.0, 57.0),
@@ -76,6 +87,7 @@ def bench_protocol(ell: int, repeats: int = 3):
 
 def bench_msm_throughput(log_n: int = 12):
     """Device MSM scalar-muls/sec/chip at 2^log_n points."""
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

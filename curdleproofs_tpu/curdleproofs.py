@@ -20,6 +20,7 @@ from .same_permutation import SamePermutationProof
 from .same_scalar import SameScalarProof
 from .transcript import Transcript
 from .util import generate_blinders, get_permutation, msm
+from .utils.trace import span
 
 __all__ = ["CurdleproofsProof", "generate_crs"]
 
@@ -60,34 +61,39 @@ class CurdleproofsProof:
         transcript = Transcript(b"curdleproofs")
 
         # Step 1
-        for vec in (vec_R, vec_S, vec_T, vec_U):
-            transcript.append_point_vec(b"curdleproofs_step1", vec)
-        transcript.append_point(b"curdleproofs_step1", M)
-        vec_a = transcript.get_and_append_challenges(b"curdleproofs_vec_a", ell)
+        with span("prover.step1_challenges"):
+            for vec in (vec_R, vec_S, vec_T, vec_U):
+                transcript.append_point_vec(b"curdleproofs_step1", vec)
+            transcript.append_point(b"curdleproofs_step1", M)
+            vec_a = transcript.get_and_append_challenges(
+                b"curdleproofs_vec_a", ell)
 
         # Step 2
         vec_a_blinders = generate_blinders(rng, N_BLINDERS - 2)
         vec_r_a_prime = vec_a_blinders + [0, 0]
 
         vec_a_permuted = get_permutation(vec_a, permutation)
-        A = msm(crs.vec_G, vec_a_permuted).add(msm(crs.vec_H, vec_r_a_prime))
+        with span("prover.step2_A_commitment"):
+            A = msm(crs.vec_G, vec_a_permuted).add(msm(crs.vec_H, vec_r_a_prime))
 
-        same_perm_proof = SamePermutationProof.new(
-            crs.vec_G, crs.vec_H, crs.H, A, M, vec_a, permutation,
-            vec_r_a_prime, vec_m_blinders, transcript, rng)
+        with span("prover.same_permutation"):
+            same_perm_proof = SamePermutationProof.new(
+                crs.vec_G, crs.vec_H, crs.H, A, M, vec_a, permutation,
+                vec_r_a_prime, vec_m_blinders, transcript, rng)
 
         # Step 3
         r_t = rng.rand_fr()
         r_u = rng.rand_fr()
-        R_pt = msm(vec_R, vec_a)
-        S_pt = msm(vec_S, vec_a)
+        with span("prover.same_scalar"):
+            R_pt = msm(vec_R, vec_a)
+            S_pt = msm(vec_S, vec_a)
 
-        cm_T = GroupCommitment.new(crs.G_t, crs.H, R_pt.mul(k), r_t)
-        cm_U = GroupCommitment.new(crs.G_u, crs.H, S_pt.mul(k), r_u)
+            cm_T = GroupCommitment.new(crs.G_t, crs.H, R_pt.mul(k), r_t)
+            cm_U = GroupCommitment.new(crs.G_u, crs.H, S_pt.mul(k), r_u)
 
-        same_scalar_proof = SameScalarProof.new(
-            crs.G_t, crs.G_u, crs.H, R_pt, S_pt, cm_T, cm_U, k, r_t, r_u,
-            transcript, rng)
+            same_scalar_proof = SameScalarProof.new(
+                crs.G_t, crs.G_u, crs.H, R_pt, S_pt, cm_T, cm_U, k, r_t, r_u,
+                transcript, rng)
 
         # Step 4
         A_prime = A.add(cm_T.T_1).add(cm_U.T_1)
@@ -100,10 +106,11 @@ class CurdleproofsProof:
                                              G1.infinity(), crs.H]
         vec_a_with_blinders = vec_a_permuted + vec_a_blinders + [r_t, r_u]
 
-        same_multiscalar_proof = SameMultiscalarProof.new(
-            vec_G_with_blinders, A_prime, cm_T.T_2, cm_U.T_2,
-            vec_T_with_blinders, vec_U_with_blinders, vec_a_with_blinders,
-            transcript, rng)
+        with span("prover.same_multiscalar"):
+            same_multiscalar_proof = SameMultiscalarProof.new(
+                vec_G_with_blinders, A_prime, cm_T.T_2, cm_U.T_2,
+                vec_T_with_blinders, vec_U_with_blinders, vec_a_with_blinders,
+                transcript, rng)
 
         return CurdleproofsProof(A, cm_T, cm_U, R_pt, S_pt, same_perm_proof,
                                  same_scalar_proof, same_multiscalar_proof)
@@ -120,9 +127,11 @@ class CurdleproofsProof:
     ) -> None:
         """Raises VerificationError on any failed check."""
         msm_accumulator = MsmAccumulator()
-        self.verify_with_accumulator(crs, vec_R, vec_S, vec_T, vec_U, M,
-                                     msm_accumulator, rng)
-        msm_accumulator.verify()
+        with span("verifier.checks"):
+            self.verify_with_accumulator(crs, vec_R, vec_S, vec_T, vec_U, M,
+                                         msm_accumulator, rng)
+        with span("verifier.final_msm"):
+            msm_accumulator.verify()
 
     def verify_with_accumulator(
         self,

@@ -56,5 +56,25 @@ def test_whisk_shuffle_proof_golden():
               / "golden" / "whisk_shuffle_proof_128.hex").read_text().strip()
     assert proof_bytes.hex() == golden
 
+    # fixture YAML generation, gated like the reference (whisk.rs:444-453)
+    import os
+
+    if os.environ.get("GENERATE_VECTORS"):
+        import pathlib
+
+        import yaml
+
+        spec = {
+            "pre_trackers": [{"r_G": t.r_G.hex(), "k_r_G": t.k_r_G.hex()}
+                             for t in shuffled_trackers],
+            "post_trackers": [{"r_G": t.r_G.hex(), "k_r_G": t.k_r_G.hex()}
+                              for t in post_trackers],
+            "proof": proof_bytes.hex(),
+        }
+        fixtures = pathlib.Path(__file__).parent / "fixtures"
+        fixtures.mkdir(exist_ok=True)
+        with open(fixtures / "shuffle_proof_128_valid.yml", "w") as f:
+            yaml.safe_dump(spec, f)
+
     assert is_valid_whisk_shuffle_proof(rng, crs, shuffled_trackers,
                                         post_trackers, proof_bytes)
