@@ -118,7 +118,63 @@ void fq_mul(const Fq &a, const Fq &b, Fq &r) {
     if (t[6] || fq_geq_p(r)) fq_sub_p(r);
 }
 
-inline void fq_sqr(const Fq &a, Fq &r) { fq_mul(a, a, r); }
+// Dedicated Montgomery squaring (SOS): cross products once + doubled,
+// diagonal added, then a separate 6-step reduction. ~25% fewer limb products
+// than fq_mul.
+void fq_sqr(const Fq &a, Fq &r) {
+    u64 t[13] = {0};
+    // cross terms i < j
+    for (int i = 0; i < 6; ++i) {
+        u128 c = 0;
+        for (int j = i + 1; j < 6; ++j) {
+            u128 cur = (u128)t[i + j] + (u128)a.l[i] * a.l[j] + (u64)c;
+            t[i + j] = (u64)cur;
+            c = cur >> 64;
+        }
+        u128 cur = (u128)t[i + 6] + (u64)c;
+        t[i + 6] = (u64)cur;
+        // (carry out of t[i+6] impossible: t[i+6] only holds prior carries)
+    }
+    // double
+    u64 top = 0;
+    for (int i = 11; i >= 1; --i) {
+        t[i] = (t[i] << 1) | (t[i - 1] >> 63);
+    }
+    t[0] <<= 1;
+    // add diagonals
+    u128 c = 0;
+    for (int i = 0; i < 6; ++i) {
+        u128 sq = (u128)a.l[i] * a.l[i];
+        u128 lo = (u128)t[2 * i] + (u64)sq + (u64)c;
+        t[2 * i] = (u64)lo;
+        u128 hi = (u128)t[2 * i + 1] + (u64)(sq >> 64) + (u64)(lo >> 64);
+        t[2 * i + 1] = (u64)hi;
+        c = hi >> 64;
+    }
+    t[12] = (u64)c;
+    // Montgomery reduction (SOS): clear limbs 0..5
+    u64 extra = t[12];
+    for (int i = 0; i < 6; ++i) {
+        u64 m = t[i] * P_INV64;
+        u128 cc = 0;
+        for (int j = 0; j < 6; ++j) {
+            u128 cur = (u128)t[i + j] + (u128)m * P[j] + (u64)cc;
+            t[i + j] = (u64)cur;
+            cc = cur >> 64;
+        }
+        // propagate carry into the higher limbs
+        int k = i + 6;
+        while (cc && k < 12) {
+            u128 cur = (u128)t[k] + (u64)cc;
+            t[k] = (u64)cur;
+            cc = cur >> 64;
+            ++k;
+        }
+        extra += (u64)cc;
+    }
+    std::memcpy(r.l, t + 6, 48);
+    if (extra || fq_geq_p(r)) fq_sub_p(r);
+}
 
 inline void to_mont(Fq &a) {
     Fq r2;

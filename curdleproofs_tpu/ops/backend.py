@@ -17,7 +17,7 @@ from .g1_ops import PointsXYZ, points_from_device, points_to_device
 from .limbs import ints_to_bits
 from .msm import NBITS, batch_mul_each_jit, batch_mul_jit, fold_jit, msm_jit
 
-__all__ = ["TpuBackend"]
+__all__ = ["TpuBackend", "HybridBackend", "auto_backend"]
 
 
 def _pad_pow2(n: int, floor: int = 8) -> int:
@@ -25,6 +25,50 @@ def _pad_pow2(n: int, floor: int = 8) -> int:
     while m < n:
         m *= 2
     return m
+
+
+class HybridBackend:
+    """Latency ops on the native host runtime; big MSMs on the TPU Pippenger.
+
+    The protocol's folding rounds and small sub-argument MSMs are
+    latency-bound (host C++ wins); the verifier's one giant deduped MSM and
+    anything batch-scale is throughput-bound (device wins).
+    """
+
+    name = "hybrid"
+
+    def __init__(self, device_msm_threshold: int = 1024):
+        from ..backend import HostBackend
+
+        self._host = HostBackend()
+        self.device_msm_threshold = device_msm_threshold
+
+    def msm(self, points, scalars):
+        if len(points) >= self.device_msm_threshold:
+            from .msm_pippenger import msm_pippenger
+
+            return msm_pippenger(points, scalars)
+        return self._host.msm(points, scalars)
+
+    def batch_mul(self, points, scalar):
+        return self._host.batch_mul(points, scalar)
+
+    def batch_mul_each(self, points, scalars):
+        return self._host.batch_mul_each(points, scalars)
+
+    def fold_points(self, left, right, gamma):
+        return self._host.fold_points(left, right, gamma)
+
+
+def auto_backend():
+    """HybridBackend when a real TPU is present, else the native host path."""
+    import jax
+
+    from ..backend import HostBackend
+
+    if jax.default_backend() in ("tpu", "axon"):
+        return HybridBackend()
+    return HostBackend()
 
 
 class TpuBackend(Backend):
