@@ -45,6 +45,20 @@ def lib() -> ctypes.CDLL | None:
         "cp_dual_mul_each": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
                              ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                              ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p],
+        "cp_dual_mul_norm": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+                             ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+                             ctypes.c_char_p],
+        "cp_batch_normalize": [ctypes.c_char_p, ctypes.c_uint64],
+        "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                      ctypes.c_char_p],
+        "cp_strobe_init": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64],
+        "cp_strobe_meta_ad": [ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_uint64, ctypes.c_int32],
+        "cp_strobe_ad": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                         ctypes.c_int32],
+        "cp_strobe_prf": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                          ctypes.c_int32],
     }.items():
         fn = getattr(cdll, name)
         fn.argtypes = argtypes
@@ -118,17 +132,19 @@ def batch_mul_glv(points: list[G1], scalar: int) -> list[G1]:
     n = len(points)
     k1b, n1, k2b, n2, nbits, beta = _dual_args(scalar)
     out = ctypes.create_string_buffer(_POINT * n)
-    lib().cp_dual_mul(None, pts_to_bytes(points), n, beta, k1b, n1, k2b, n2,
-                      nbits, out)
+    lib().cp_dual_mul_norm(None, pts_to_bytes(points), n, beta, k1b, n1,
+                           k2b, n2, nbits, out)
     return pts_from_bytes(out.raw, n)
 
 
 def fold_glv(left: list[G1], right: list[G1], gamma: int) -> list[G1]:
+    """Fold with batch-normalised output (z=1), so downstream table adds and
+    MSM bucket adds take the mixed-addition fast path."""
     n = len(left)
     k1b, n1, k2b, n2, nbits, beta = _dual_args(gamma)
     out = ctypes.create_string_buffer(_POINT * n)
-    lib().cp_dual_mul(pts_to_bytes(left), pts_to_bytes(right), n, beta,
-                      k1b, n1, k2b, n2, nbits, out)
+    lib().cp_dual_mul_norm(pts_to_bytes(left), pts_to_bytes(right), n, beta,
+                           k1b, n1, k2b, n2, nbits, out)
     return pts_from_bytes(out.raw, n)
 
 
@@ -153,10 +169,14 @@ def batch_mul_each_glv(points: list[G1], scalars: list[int]) -> list[G1]:
 
 
 def msm(points: list[G1], scalars: list[int]) -> G1:
+    """Batch-affine Pippenger above the Straus cutoff, Straus below."""
     l = lib()
     out = ctypes.create_string_buffer(_POINT)
-    l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars),
-             len(points), out)
+    n = len(points)
+    # NOTE: cp_msm_ba (batch-affine buckets) exists but its scheduling
+    # overhead currently eats the 6M-vs-16M win; revisit with flat-array
+    # scheduling. The Straus/Pippenger path below is faster today.
+    l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
     return pts_from_bytes(out.raw, 1)[0]
 
 

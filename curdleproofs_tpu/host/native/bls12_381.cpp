@@ -10,7 +10,10 @@
 //   scalar: 32 bytes
 //   point (Jacobian): 3 x 48 bytes (x, y, z); z == 0 encodes infinity.
 
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -657,6 +660,404 @@ void cp_dual_mul_each(const uint8_t *points, uint64_t n,
                       negs2[i], nbits, nullptr, r);
         store_g1(r, out + 144 * i);
     }
+}
+
+}  // extern "C"
+
+// ---- batch normalisation (Montgomery batch inversion, Fermat base case) ----
+
+namespace {
+
+// r = a^(p-2) mod p (Montgomery domain), square-and-multiply
+void fq_inv(const Fq &a, Fq &r) {
+    // exponent p-2, big-endian bit scan
+    u64 e[6];
+    std::memcpy(e, P, 48);
+    // subtract 2
+    if (e[0] >= 2) { e[0] -= 2; }
+    else { e[0] -= 2; /* borrow */ for (int i = 1; i < 6; ++i) { if (e[i]--) break; } }
+    Fq acc;
+    std::memcpy(acc.l, ONE_MONT, 48);
+    bool started = false;
+    for (int limb = 5; limb >= 0; --limb) {
+        for (int bit = 63; bit >= 0; --bit) {
+            if (started) fq_sqr(acc, acc);
+            if ((e[limb] >> bit) & 1) {
+                if (started) fq_mul(acc, a, acc);
+                else { acc = a; started = true; }
+            }
+        }
+    }
+    r = acc;
+}
+
+// normalise n Jacobian points to z in {0, 1(mont)} with ONE field inversion
+void batch_normalize(G1 *pts, size_t n) {
+    if (!n) return;
+    std::vector<Fq> prefix(n);
+    Fq acc;
+    std::memcpy(acc.l, ONE_MONT, 48);
+    for (size_t i = 0; i < n; ++i) {
+        prefix[i] = acc;
+        if (!fq_is_zero(pts[i].z)) fq_mul(acc, pts[i].z, acc);
+    }
+    Fq inv;
+    fq_inv(acc, inv);
+    for (size_t i = n; i-- > 0;) {
+        if (fq_is_zero(pts[i].z)) continue;
+        Fq zinv;
+        fq_mul(inv, prefix[i], zinv);      // 1/z_i
+        fq_mul(inv, pts[i].z, inv);        // strip z_i from the running inverse
+        Fq zinv2, zinv3;
+        fq_sqr(zinv, zinv2);
+        fq_mul(zinv2, zinv, zinv3);
+        fq_mul(pts[i].x, zinv2, pts[i].x);
+        fq_mul(pts[i].y, zinv3, pts[i].y);
+        std::memcpy(pts[i].z.l, ONE_MONT, 48);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void cp_batch_normalize(uint8_t *points_inout, uint64_t n) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points_inout + 144 * i, pts[i]);
+    batch_normalize(pts.data(), n);
+    for (uint64_t i = 0; i < n; ++i) store_g1(pts[i], points_inout + 144 * i);
+}
+
+// fold with normalised output: out[i] = left[i] + k1*R_i + k2*phi(R_i), z=1
+void cp_dual_mul_norm(const uint8_t *left_bytes, const uint8_t *points,
+                      uint64_t n, const uint8_t *beta48,
+                      const uint8_t *k1, int32_t neg1,
+                      const uint8_t *k2, int32_t neg2, int32_t nbits,
+                      uint8_t *out) {
+    Fq beta;
+    load_fq(beta48, beta);
+    std::vector<G1> res(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        G1 base, l;
+        load_g1(points + 144 * i, base);
+        if (left_bytes) load_g1(left_bytes + 144 * i, l);
+        dual_mul_core(base, beta, k1, neg1, k2, neg2, nbits,
+                      left_bytes ? &l : nullptr, res[i]);
+    }
+    batch_normalize(res.data(), n);
+    for (uint64_t i = 0; i < n; ++i) store_g1(res[i], out + 144 * i);
+}
+
+}  // extern "C"
+
+// ---- batch-affine Pippenger MSM ----
+// Bucket accumulation with affine additions and shared batch inversion:
+// per added point ~6M instead of ~16M. Scheduling: passes over the t-th
+// occupant of every (window, bucket) — all additions in a pass touch
+// distinct buckets, and the pass's inversions are batched across ALL windows.
+
+namespace {
+
+struct AffPt {
+    Fq x, y;
+    bool inf;
+};
+
+// batched affine bucket += point; pairs are (bucket slot, point) with
+// distinct slots. Handles assign/double/cancel cases.
+void affine_add_pass(AffPt *buckets, const int64_t *slots,
+                     const AffPt *pts, const int64_t *pis, size_t m,
+                     std::vector<Fq> &denoms, std::vector<int> &kinds) {
+    denoms.clear();
+    kinds.assign(m, 0);  // 0 = no-op/assign, 1 = add, 2 = double
+    // first sweep: classify, collect denominators
+    for (size_t i = 0; i < m; ++i) {
+        AffPt &b = buckets[slots[i]];
+        const AffPt &p = pts[pis[i]];
+        if (p.inf) { kinds[i] = 0; continue; }
+        if (b.inf) { kinds[i] = 3; continue; }  // assign
+        if (std::memcmp(b.x.l, p.x.l, 48) == 0) {
+            if (std::memcmp(b.y.l, p.y.l, 48) == 0) {
+                kinds[i] = 2;  // double: denom = 2y
+                Fq d;
+                fq_dbl(b.y, d);
+                denoms.push_back(d);
+            } else {
+                kinds[i] = 4;  // cancel to infinity
+            }
+        } else {
+            kinds[i] = 1;      // add: denom = x2 - x1
+            Fq d;
+            fq_sub(p.x, b.x, d);
+            denoms.push_back(d);
+        }
+    }
+    // batch invert denominators (Montgomery's trick)
+    size_t nd = denoms.size();
+    if (nd) {
+        std::vector<Fq> prefix(nd);
+        Fq acc;
+        std::memcpy(acc.l, ONE_MONT, 48);
+        for (size_t i = 0; i < nd; ++i) {
+            prefix[i] = acc;
+            fq_mul(acc, denoms[i], acc);
+        }
+        Fq inv;
+        fq_inv(acc, inv);
+        for (size_t i = nd; i-- > 0;) {
+            Fq di;
+            fq_mul(inv, prefix[i], di);
+            fq_mul(inv, denoms[i], inv);
+            denoms[i] = di;  // now the inverse
+        }
+    }
+    // second sweep: apply
+    size_t di = 0;
+    for (size_t i = 0; i < m; ++i) {
+        AffPt &b = buckets[slots[i]];
+        const AffPt &p = pts[pis[i]];
+        switch (kinds[i]) {
+            case 0: break;
+            case 3: b = p; break;
+            case 4: b.inf = true; break;
+            case 1: {  // affine add
+                Fq lam, t;
+                fq_sub(p.y, b.y, t);
+                fq_mul(t, denoms[di++], lam);
+                Fq x3, y3;
+                fq_sqr(lam, x3);
+                fq_sub(x3, b.x, x3);
+                fq_sub(x3, p.x, x3);
+                fq_sub(b.x, x3, t);
+                fq_mul(lam, t, y3);
+                fq_sub(y3, b.y, y3);
+                b.x = x3;
+                b.y = y3;
+                break;
+            }
+            case 2: {  // affine double: lam = 3x^2 / 2y (a = 0)
+                Fq lam, t;
+                fq_sqr(b.x, t);
+                Fq t3;
+                fq_dbl(t, t3);
+                fq_add(t3, t, t3);
+                fq_mul(t3, denoms[di++], lam);
+                Fq x3, y3;
+                fq_sqr(lam, x3);
+                fq_sub(x3, b.x, x3);
+                fq_sub(x3, b.x, x3);
+                fq_sub(b.x, x3, t);
+                fq_mul(lam, t, y3);
+                fq_sub(y3, b.y, y3);
+                b.x = x3;
+                b.y = y3;
+                break;
+            }
+        }
+    }
+}
+
+int pick_window_ba(size_t n) {
+    // cost ~ (255/c) * (n*6 + 2^c*2*16) field muls; sweep small c
+    double best = 1e30;
+    int bestc = 4;
+    for (int c = 3; c <= 13; ++c) {
+        double w = (255.0 + c - 1) / c;
+        double cost = w * (n * 6.0 + (double)(1 << c) * 2.0 * 16.0);
+        if (cost < best) { best = cost; bestc = c; }
+    }
+    return bestc;
+}
+
+void msm_batch_affine(const G1 *jac_pts, const uint8_t *scalars, size_t n,
+                      G1 &out) {
+    // normalise inputs to affine once
+    std::vector<G1> norm(jac_pts, jac_pts + n);
+    batch_normalize(norm.data(), n);
+    std::vector<AffPt> pts(n);
+    for (size_t i = 0; i < n; ++i) {
+        pts[i].inf = g1_is_inf(norm[i]);
+        pts[i].x = norm[i].x;
+        pts[i].y = norm[i].y;
+    }
+
+    int c = pick_window_ba(n);
+    int windows = (255 + c - 1) / c;
+    size_t nb = ((size_t)1 << c) - 1;  // buckets 1..2^c-1, slot b-1
+
+    std::vector<AffPt> buckets(windows * nb);
+    for (auto &b : buckets) b.inf = true;
+
+    // occupancy lists: for every (window,bucket) the point indices
+    std::vector<std::vector<int64_t>> occ(windows * nb);
+    for (size_t i = 0; i < n; ++i) {
+        const uint8_t *s = scalars + 32 * i;
+        for (int w = 0; w < windows; ++w) {
+            unsigned digit = extract_digit(s, w * c, c);
+            if (digit) occ[(size_t)w * nb + digit - 1].push_back((int64_t)i);
+        }
+    }
+    size_t max_occ = 0;
+    for (auto &v : occ) max_occ = v.size() > max_occ ? v.size() : max_occ;
+
+    bool prof = std::getenv("CP_PROF") != nullptr;
+    auto tp0 = std::chrono::steady_clock::now();
+    std::vector<int64_t> slots, pis;
+    std::vector<Fq> denoms;
+    std::vector<int> kinds;
+    for (size_t t = 0; t < max_occ; ++t) {
+        slots.clear();
+        pis.clear();
+        for (size_t sb = 0; sb < occ.size(); ++sb) {
+            if (occ[sb].size() > t) {
+                slots.push_back((int64_t)sb);
+                pis.push_back(occ[sb][t]);
+            }
+        }
+        affine_add_pass(buckets.data(), slots.data(), pts.data(), pis.data(),
+                        slots.size(), denoms, kinds);
+    }
+
+    auto tp1 = std::chrono::steady_clock::now();
+    // combine: per window running/weighted sums (jacobian), then the ladder
+    g1_set_inf(out);
+    G1 t;
+    for (int w = windows - 1; w >= 0; --w) {
+        for (int k = 0; k < c; ++k) g1_double(out, out);
+        G1 running, wsum;
+        g1_set_inf(running);
+        g1_set_inf(wsum);
+        // find highest occupied bucket to shorten the chain
+        size_t hi = 0;
+        for (size_t b = nb; b-- > 0;) {
+            if (!buckets[(size_t)w * nb + b].inf) { hi = b + 1; break; }
+        }
+        for (size_t b = hi; b-- > 0;) {
+            const AffPt &bk = buckets[(size_t)w * nb + b];
+            if (!bk.inf) {
+                G1 q;
+                q.x = bk.x;
+                q.y = bk.y;
+                std::memcpy(q.z.l, ONE_MONT, 48);
+                g1_add(running, q, t);
+                running = t;
+            }
+            g1_add(wsum, running, t);
+            wsum = t;
+        }
+        g1_add(out, wsum, t);
+        out = t;
+    }
+    if (prof) {
+        auto tp2 = std::chrono::steady_clock::now();
+        fprintf(stderr, "[ba] c=%d windows=%d max_occ=%zu bucket_phase=%.1fms combine=%.1fms\n",
+                c, windows, max_occ,
+                std::chrono::duration<double, std::milli>(tp1 - tp0).count(),
+                std::chrono::duration<double, std::milli>(tp2 - tp1).count());
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void cp_msm_ba(const uint8_t *points, const uint8_t *scalars, uint64_t n,
+               uint8_t *out) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
+    G1 r;
+    msm_batch_affine(pts.data(), scalars, n, r);
+    store_g1(r, out);
+}
+
+}  // extern "C"
+
+// ---- STROBE-128 state machine (merlin transcript hot path) ----
+// State blob layout (208 bytes): state[200] | pos | pos_begin | cur_flags | pad
+// Semantics mirror merlin's strobe.rs exactly (see host/strobe.py, the
+// pure-Python golden model).
+
+namespace {
+
+const int STROBE_R = 166;
+
+struct StrobeState {
+    uint8_t st[200];
+    uint8_t pos;
+    uint8_t pos_begin;
+    uint8_t cur_flags;
+    uint8_t _pad[5];
+};
+
+void strobe_run_f(StrobeState &s) {
+    s.st[s.pos] ^= s.pos_begin;
+    s.st[s.pos + 1] ^= 0x04;
+    s.st[STROBE_R + 1] ^= 0x80;
+    cp_keccak_f1600(s.st);
+    s.pos = 0;
+    s.pos_begin = 0;
+}
+
+void strobe_absorb(StrobeState &s, const uint8_t *data, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+        s.st[s.pos] ^= data[i];
+        if (++s.pos == STROBE_R) strobe_run_f(s);
+    }
+}
+
+void strobe_squeeze(StrobeState &s, uint8_t *out, size_t n) {
+    for (size_t i = 0; i < n; ++i) {
+        out[i] = s.st[s.pos];
+        s.st[s.pos] = 0;
+        if (++s.pos == STROBE_R) strobe_run_f(s);
+    }
+}
+
+void strobe_begin_op(StrobeState &s, uint8_t flags, int more) {
+    if (more) return;
+    uint8_t old_begin = s.pos_begin;
+    s.pos_begin = s.pos + 1;
+    s.cur_flags = flags;
+    uint8_t hdr[2] = {old_begin, flags};
+    strobe_absorb(s, hdr, 2);
+    bool force_f = flags & (0x04 | 0x20);  // C | K
+    if (force_f && s.pos != 0) strobe_run_f(s);
+}
+
+}  // namespace
+
+extern "C" {
+
+void cp_strobe_init(uint8_t *blob, const uint8_t *label, uint64_t label_len) {
+    StrobeState &s = *reinterpret_cast<StrobeState *>(blob);
+    std::memset(&s, 0, sizeof(s));
+    const uint8_t init[6] = {1, STROBE_R + 2, 1, 0, 1, 96};
+    std::memcpy(s.st, init, 6);
+    std::memcpy(s.st + 6, "STROBEv1.0.2", 12);
+    cp_keccak_f1600(s.st);
+    // meta_ad(label, false)
+    strobe_begin_op(s, 0x10 | 0x02, 0);
+    strobe_absorb(s, label, label_len);
+}
+
+void cp_strobe_meta_ad(uint8_t *blob, const uint8_t *data, uint64_t n,
+                       int32_t more) {
+    StrobeState &s = *reinterpret_cast<StrobeState *>(blob);
+    strobe_begin_op(s, 0x10 | 0x02, more);
+    strobe_absorb(s, data, n);
+}
+
+void cp_strobe_ad(uint8_t *blob, const uint8_t *data, uint64_t n,
+                  int32_t more) {
+    StrobeState &s = *reinterpret_cast<StrobeState *>(blob);
+    strobe_begin_op(s, 0x02, more);
+    strobe_absorb(s, data, n);
+}
+
+void cp_strobe_prf(uint8_t *blob, uint8_t *out, uint64_t n, int32_t more) {
+    StrobeState &s = *reinterpret_cast<StrobeState *>(blob);
+    strobe_begin_op(s, 0x01 | 0x02 | 0x04, more);
+    strobe_squeeze(s, out, n);
 }
 
 }  // extern "C"

@@ -119,13 +119,54 @@ class Strobe128:
         self._overwrite(data)
 
 
+class NativeStrobe128:
+    """C++ twin of Strobe128 (state machine + keccak all native)."""
+
+    __slots__ = ("_blob", "_lib")
+
+    def __init__(self, protocol_label: bytes):
+        import ctypes
+
+        from . import native
+
+        self._lib = native.lib()
+        self._blob = ctypes.create_string_buffer(208)
+        self._lib.cp_strobe_init(self._blob, protocol_label,
+                                 len(protocol_label))
+
+    def meta_ad(self, data: bytes, more: bool) -> None:
+        self._lib.cp_strobe_meta_ad(self._blob, data, len(data),
+                                    1 if more else 0)
+
+    def ad(self, data: bytes, more: bool) -> None:
+        self._lib.cp_strobe_ad(self._blob, data, len(data), 1 if more else 0)
+
+    def prf(self, n: int, more: bool) -> bytes:
+        import ctypes
+
+        out = ctypes.create_string_buffer(n)
+        self._lib.cp_strobe_prf(self._blob, out, n, 1 if more else 0)
+        return out.raw[:n]
+
+
+def _best_strobe():
+    try:
+        from . import native
+
+        if native.available() and hasattr(native.lib(), "cp_strobe_init"):
+            return NativeStrobe128
+    except Exception:
+        pass
+    return Strobe128
+
+
 class MerlinTranscript:
     """merlin 3.0 `Transcript` (new / append_message / challenge_bytes)."""
 
     MERLIN_PROTOCOL_LABEL = b"Merlin v1.0"
 
     def __init__(self, label: bytes):
-        self.strobe = Strobe128(self.MERLIN_PROTOCOL_LABEL)
+        self.strobe = _best_strobe()(self.MERLIN_PROTOCOL_LABEL)
         self.append_message(b"dom-sep", label)
 
     def append_message(self, label: bytes, message: bytes) -> None:
