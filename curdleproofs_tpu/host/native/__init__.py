@@ -52,6 +52,9 @@ def lib() -> ctypes.CDLL | None:
         "cp_batch_normalize": [ctypes.c_char_p, ctypes.c_uint64],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
+        "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                       ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                       ctypes.c_char_p, ctypes.c_char_p],
         "cp_strobe_init": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64],
         "cp_strobe_meta_ad": [ctypes.c_char_p, ctypes.c_char_p,
                               ctypes.c_uint64, ctypes.c_int32],
@@ -168,15 +171,33 @@ def batch_mul_each_glv(points: list[G1], scalars: list[int]) -> list[G1]:
     return pts_from_bytes(out.raw, n)
 
 
+MSM_GLV_CUTOFF = 32
+
+
 def msm(points: list[G1], scalars: list[int]) -> G1:
-    """Batch-affine Pippenger above the Straus cutoff, Straus below."""
+    """GLV + signed-digit + batch-affine Pippenger above the Straus cutoff
+    (cp_msm_glv); plain Straus/Pippenger (cp_msm) below it."""
     l = lib()
     out = ctypes.create_string_buffer(_POINT)
     n = len(points)
-    # NOTE: cp_msm_ba (batch-affine buckets) exists but its scheduling
-    # overhead currently eats the 6M-vs-16M win; revisit with flat-array
-    # scheduling. The Straus/Pippenger path below is faster today.
-    l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
+    if n < MSM_GLV_CUTOFF:
+        l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
+        return pts_from_bytes(out.raw, 1)[0]
+    g = _glv()
+    k1s, k2s = bytearray(), bytearray()
+    negs1, negs2 = bytearray(), bytearray()
+    try:
+        for s in scalars:
+            k1, k2 = g.decompose(s % R)
+            k1s += abs(k1).to_bytes(16, "little")  # raises if a half >= 2^128
+            k2s += abs(k2).to_bytes(16, "little")
+            negs1.append(1 if k1 < 0 else 0)
+            negs2.append(1 if k2 < 0 else 0)
+    except OverflowError:  # oversized GLV half (shouldn't happen; be safe)
+        l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
+        return pts_from_bytes(out.raw, 1)[0]
+    l.cp_msm_glv(pts_to_bytes(points), n, bytes(k1s), bytes(negs1),
+                 bytes(k2s), bytes(negs2), g.BETA.to_bytes(48, "little"), out)
     return pts_from_bytes(out.raw, 1)[0]
 
 

@@ -854,11 +854,13 @@ struct AffPt {
     bool inf;
 };
 
-// batched affine bucket += point; pairs are (bucket slot, point) with
-// distinct slots. Handles assign/double/cancel cases.
+// batched affine bucket += (+-)point; pairs are (bucket slot, point) with
+// distinct slots. Handles assign/double/cancel cases. `negs` (nullable) flips
+// the sign of the incoming point per entry (signed-digit / GLV support).
 void affine_add_pass(AffPt *buckets, const int64_t *slots,
                      const AffPt *pts, const int64_t *pis, size_t m,
-                     std::vector<Fq> &denoms, std::vector<int> &kinds) {
+                     std::vector<Fq> &denoms, std::vector<int> &kinds,
+                     const uint8_t *negs = nullptr) {
     denoms.clear();
     kinds.assign(m, 0);  // 0 = no-op/assign, 1 = add, 2 = double
     // first sweep: classify, collect denominators
@@ -867,8 +869,10 @@ void affine_add_pass(AffPt *buckets, const int64_t *slots,
         const AffPt &p = pts[pis[i]];
         if (p.inf) { kinds[i] = 0; continue; }
         if (b.inf) { kinds[i] = 3; continue; }  // assign
+        Fq py = p.y;
+        if (negs && negs[i]) fq_neg(p.y, py);
         if (std::memcmp(b.x.l, p.x.l, 48) == 0) {
-            if (std::memcmp(b.y.l, p.y.l, 48) == 0) {
+            if (std::memcmp(b.y.l, py.l, 48) == 0) {
                 kinds[i] = 2;  // double: denom = 2y
                 Fq d;
                 fq_dbl(b.y, d);
@@ -907,13 +911,15 @@ void affine_add_pass(AffPt *buckets, const int64_t *slots,
     for (size_t i = 0; i < m; ++i) {
         AffPt &b = buckets[slots[i]];
         const AffPt &p = pts[pis[i]];
+        Fq py = p.y;
+        if (negs && negs[i] && !p.inf) fq_neg(p.y, py);
         switch (kinds[i]) {
             case 0: break;
-            case 3: b = p; break;
+            case 3: b.x = p.x; b.y = py; b.inf = false; break;
             case 4: b.inf = true; break;
             case 1: {  // affine add
                 Fq lam, t;
-                fq_sub(p.y, b.y, t);
+                fq_sub(py, b.y, t);
                 fq_mul(t, denoms[di++], lam);
                 Fq x3, y3;
                 fq_sqr(lam, x3);
@@ -1058,6 +1064,229 @@ void cp_msm_ba(const uint8_t *points, const uint8_t *scalars, uint64_t n,
     for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
     G1 r;
     msm_batch_affine(pts.data(), scalars, n, r);
+    store_g1(r, out);
+}
+
+}  // extern "C"
+
+// ---- GLV + signed-digit + batch-affine Pippenger (the flagship host MSM) ----
+// Each 255-bit scalar is pre-split (host side) into k1 + k2*lambda with
+// |k1|,|k2| < 2^128, doubling the point count but halving the window count
+// (ark-ec's VariableBaseMSM, util.rs:19-22, has neither GLV nor batch-affine
+// buckets). Signed digits in [-2^(c-1), 2^(c-1)] halve the bucket count, and
+// bucket accumulation runs on affine coordinates with pass-level shared batch
+// inversion (~6M per add vs ~16M Jacobian).
+
+namespace {
+
+int pick_window_glv(size_t npts) {  // npts = 2n after the GLV split
+    double best = 1e30;
+    int bestc = 6;
+    for (int c = 4; c <= 12; ++c) {
+        double w = (129.0 + c - 1.0) / c;
+        // bucket phase ~6M/add; chain ~27M per bucket (mixed + full add)
+        double cost = w * ((double)npts * 6.0 + (double)(1 << (c - 1)) * 27.0);
+        if (cost < best) { best = cost; bestc = c; }
+    }
+    return bestc;
+}
+
+// 16-byte little-endian halves; negs flag the halves' signs.
+void msm_glv_ba(const G1 *jac_pts, size_t n,
+                const uint8_t *k1s, const uint8_t *negs1,
+                const uint8_t *k2s, const uint8_t *negs2,
+                const Fq &beta_mont, G1 &out) {
+    bool prof = std::getenv("CP_PROF") != nullptr;
+    auto tp0 = std::chrono::steady_clock::now();
+    // 1. normalise inputs once; build 2n affine points (second half = endo)
+    std::vector<G1> norm(jac_pts, jac_pts + n);
+    batch_normalize(norm.data(), n);
+    size_t npts = 2 * n;
+    std::vector<AffPt> pts(npts);
+    for (size_t i = 0; i < n; ++i) {
+        bool inf = g1_is_inf(norm[i]);
+        pts[i].inf = inf;
+        pts[n + i].inf = inf;
+        if (inf) continue;
+        pts[i].x = norm[i].x;
+        pts[n + i].y = pts[i].y = norm[i].y;
+        fq_mul(norm[i].x, beta_mont, pts[n + i].x);  // phi(x,y) = (beta*x, y)
+        if (negs1[i]) fq_neg(norm[i].y, pts[i].y);
+        if (negs2[i]) fq_neg(norm[i].y, pts[n + i].y);
+    }
+
+    int c = pick_window_glv(npts);
+    int windows = (129 + c - 1) / c;
+    size_t nb = (size_t)1 << (c - 1);  // buckets for |digit| in 1..2^(c-1)
+    size_t nslots = (size_t)windows * nb;
+
+    // 2. signed-digit recode -> flat entries, counting-sorted by slot
+    std::vector<uint32_t> counts(nslots + 1, 0);
+    // entry payload: point index (<2^31) | neg flag in the top bit
+    struct Ent { uint32_t slot; uint32_t pi; };
+    std::vector<Ent> raw;
+    raw.reserve(npts * (size_t)((128 + c - 1) / c));
+    const int half = 1 << (c - 1);
+    const unsigned mask = (1u << c) - 1u;
+    for (size_t i = 0; i < npts; ++i) {
+        const uint8_t *s = (i < n) ? k1s + 16 * i : k2s + 16 * (i - n);
+        unsigned carry = 0;
+        for (int w = 0; w < windows; ++w) {
+            int bit_lo = w * c;
+            unsigned v = carry;
+            if (bit_lo < 128) {
+                // gather up to c bits from the 16-byte LE value
+                int byte = bit_lo >> 3, off = bit_lo & 7;
+                uint64_t chunk = 0;
+                for (int b = 0; b < 3 && byte + b < 16; ++b)
+                    chunk |= (uint64_t)s[byte + b] << (8 * b);
+                v += (unsigned)((chunk >> off) & mask);
+            }
+            int d;
+            if (v > (unsigned)half) { d = (int)v - (1 << c); carry = 1; }
+            else { d = (int)v; carry = 0; }
+            if (d != 0) {
+                uint32_t slot = (uint32_t)w * (uint32_t)nb +
+                                (uint32_t)(d < 0 ? -d : d) - 1u;
+                uint32_t pi = (uint32_t)i | (d < 0 ? 0x80000000u : 0u);
+                raw.push_back({slot, pi});
+                counts[slot + 1]++;
+            }
+        }
+    }
+    for (size_t sidx = 1; sidx <= nslots; ++sidx) counts[sidx] += counts[sidx - 1];
+    std::vector<uint32_t> sorted(raw.size());
+    {
+        std::vector<uint32_t> cur(counts.begin(), counts.end() - 1);
+        for (const Ent &e : raw) sorted[cur[e.slot]++] = e.pi;
+    }
+
+    // 3. bucket phase. Slot occupancy can be badly skewed (e.g. the top
+    //    carry window drops ~half the points into bucket |1|), which would
+    //    make the pass count O(max occupancy). Split any hot slot into
+    //    virtual sub-accumulators of <= T entries each, run the passes over
+    //    virtual slots, then tree-merge the sub-accumulators (log passes).
+    const size_t T = std::max<size_t>(
+        8, 2 * (raw.size() / std::max<size_t>(nslots, 1) + 1));
+    std::vector<uint32_t> vbase(nslots), vspan(nslots);
+    size_t nv = 0, max_span = 0;
+    for (size_t s = 0; s < nslots; ++s) {
+        size_t occ = counts[s + 1] - counts[s];
+        size_t span = (occ + T - 1) / T;
+        vbase[s] = (uint32_t)nv;
+        vspan[s] = (uint32_t)span;
+        nv += span;
+        if (span > max_span) max_span = span;
+    }
+    std::vector<AffPt> buckets(nv);
+    for (auto &b : buckets) b.inf = true;
+    std::vector<uint32_t> live, off(nv), vend(nv);
+    std::vector<uint32_t> split_slots;  // parents with >1 sub-accumulator
+    for (size_t s = 0; s < nslots; ++s) {
+        for (uint32_t ch = 0; ch < vspan[s]; ++ch) {
+            uint32_t v = vbase[s] + ch;
+            off[v] = counts[s] + ch * (uint32_t)T;
+            vend[v] = std::min<uint32_t>(off[v] + (uint32_t)T, counts[s + 1]);
+            live.push_back(v);
+        }
+        if (vspan[s] > 1) split_slots.push_back((uint32_t)s);
+    }
+    auto tp1 = std::chrono::steady_clock::now();
+    size_t npasses = 0;
+    std::vector<int64_t> slots, pis;
+    std::vector<uint8_t> negs;
+    std::vector<Fq> denoms;
+    std::vector<int> kinds;
+    std::vector<uint32_t> nxt;
+    while (!live.empty()) {
+        ++npasses;
+        slots.clear(); pis.clear(); negs.clear(); nxt.clear();
+        for (uint32_t v : live) {
+            uint32_t e = sorted[off[v]++];
+            slots.push_back((int64_t)v);
+            pis.push_back((int64_t)(e & 0x7fffffffu));
+            negs.push_back((uint8_t)(e >> 31));
+            if (off[v] < vend[v]) nxt.push_back(v);
+        }
+        affine_add_pass(buckets.data(), slots.data(), pts.data(), pis.data(),
+                        slots.size(), denoms, kinds, negs.data());
+        live.swap(nxt);
+    }
+    // tree-merge sub-accumulators into each parent's first virtual slot;
+    // each pass merges disjoint (target, source) pairs so it stays batchable
+    for (size_t stride = 1; stride < max_span; stride *= 2) {
+        slots.clear(); pis.clear();
+        for (uint32_t s : split_slots) {
+            for (size_t k = 0; k + stride < vspan[s]; k += 2 * stride) {
+                slots.push_back((int64_t)(vbase[s] + k));
+                pis.push_back((int64_t)(vbase[s] + k + stride));
+            }
+        }
+        if (!slots.empty())
+            affine_add_pass(buckets.data(), slots.data(), buckets.data(),
+                            pis.data(), slots.size(), denoms, kinds, nullptr);
+    }
+
+    auto tp2 = std::chrono::steady_clock::now();
+    // 4. per-window running/weighted chains (mixed adds: buckets are affine),
+    //    then the Horner doubling ladder across windows.
+    g1_set_inf(out);
+    G1 t;
+    for (int w = windows - 1; w >= 0; --w) {
+        for (int k = 0; k < c; ++k) g1_double(out, out);
+        size_t hi = 0;
+        for (size_t b = nb; b-- > 0;) {
+            size_t s = (size_t)w * nb + b;
+            if (vspan[s] && !buckets[vbase[s]].inf) { hi = b + 1; break; }
+        }
+        if (!hi) continue;
+        G1 running, wsum;
+        g1_set_inf(running);
+        g1_set_inf(wsum);
+        for (size_t b = hi; b-- > 0;) {
+            size_t s = (size_t)w * nb + b;
+            static const AffPt kInf = {{{0}}, {{0}}, true};
+            const AffPt &bk = vspan[s] ? buckets[vbase[s]] : kInf;
+            if (!bk.inf) {
+                G1 q;
+                q.x = bk.x;
+                q.y = bk.y;
+                std::memcpy(q.z.l, ONE_MONT, 48);
+                g1_add(running, q, t);
+                running = t;
+            }
+            g1_add(wsum, running, t);
+            wsum = t;
+        }
+        g1_add(out, wsum, t);
+        out = t;
+    }
+    if (prof) {
+        auto tp3 = std::chrono::steady_clock::now();
+        fprintf(stderr,
+                "[glv] n=%zu c=%d W=%d entries=%zu passes=%zu "
+                "setup=%.1fms buckets=%.1fms chain=%.1fms\n",
+                n, c, windows, raw.size(), npasses,
+                std::chrono::duration<double, std::milli>(tp1 - tp0).count(),
+                std::chrono::duration<double, std::milli>(tp2 - tp1).count(),
+                std::chrono::duration<double, std::milli>(tp3 - tp2).count());
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void cp_msm_glv(const uint8_t *points, uint64_t n,
+                const uint8_t *k1s, const uint8_t *negs1,
+                const uint8_t *k2s, const uint8_t *negs2,
+                const uint8_t *beta48, uint8_t *out) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
+    Fq beta;
+    load_fq(beta48, beta);
+    G1 r;
+    msm_glv_ba(pts.data(), n, k1s, negs1, k2s, negs2, beta, r);
     store_g1(r, out);
 }
 
