@@ -22,6 +22,7 @@ typedef uint64_t u64;
 
 // ---- generated-at-build-time constants (see build.py) ----
 #include "constants_generated.h"
+#include "ifma52.h"
 // Provides:
 //   static const u64 P[6];        // Fq modulus
 //   static const u64 P_INV64;     // -p^{-1} mod 2^64
@@ -1065,6 +1066,125 @@ void cp_msm_ba(const uint8_t *points, const uint8_t *scalars, uint64_t n,
     G1 r;
     msm_batch_affine(pts.data(), scalars, n, r);
     store_g1(r, out);
+}
+
+}  // extern "C"
+
+// ---- IFMA batch domain conversion + self-test ----
+
+#if CP_HAVE_IFMA
+
+namespace {
+
+// mont64 Fq (a*2^384, 6x64 limbs) -> packed mont52 (a*2^416, 8x52 limbs)
+void convert_to52_batch(const Fq *in, size_t n, u64 *out) {
+    ifma::Fq8 conv;
+    ifma::broadcast8(CONV_IN52, conv);
+    u64 buf[8][8];
+    for (size_t base = 0; base < n; base += 8) {
+        size_t m = n - base < 8 ? n - base : 8;
+        for (size_t k = 0; k < m; ++k) ifma::repack_6to8(in[base + k].l, buf[k]);
+        for (size_t k = m; k < 8; ++k) std::memset(buf[k], 0, 64);
+        const u64 *srcs[8];
+        u64 *dsts[8];
+        for (int k = 0; k < 8; ++k) { srcs[k] = buf[k]; dsts[k] = buf[k]; }
+        ifma::Fq8 v;
+        ifma::load8(srcs, v);
+        ifma::montmul8(v, conv, v);
+        ifma::store8(v, dsts);
+        std::memcpy(out + base * 8, buf, m * 64);
+    }
+}
+
+// packed mont52 -> mont64 Fq
+void convert_from52_batch(const u64 *in, size_t n, Fq *out) {
+    ifma::Fq8 conv;
+    ifma::broadcast8(CONV_OUT52, conv);
+    u64 buf[8][8];
+    for (size_t base = 0; base < n; base += 8) {
+        size_t m = n - base < 8 ? n - base : 8;
+        std::memcpy(buf, in + base * 8, m * 64);
+        for (size_t k = m; k < 8; ++k) std::memset(buf[k], 0, 64);
+        const u64 *srcs[8];
+        u64 *dsts[8];
+        for (int k = 0; k < 8; ++k) { srcs[k] = buf[k]; dsts[k] = buf[k]; }
+        ifma::Fq8 v;
+        ifma::load8(srcs, v);
+        ifma::montmul8(v, conv, v);
+        ifma::store8(v, dsts);
+        for (size_t k = 0; k < m; ++k) ifma::repack_8to6(buf[k], out[base + k].l);
+    }
+}
+
+}  // namespace
+
+#endif  // CP_HAVE_IFMA
+
+extern "C" {
+
+int cp_ifma_available(void) { return CP_HAVE_IFMA; }
+
+// round-trips 8*reps pseudorandom field elements through the IFMA domain and
+// cross-checks montmul8/add8/sub8/neg8 against the scalar ADX/CIOS path.
+// Returns 0 on success, a nonzero failure code otherwise.
+int cp_ifma_selftest(void) {
+#if CP_HAVE_IFMA
+    u64 seed = 0x243f6a8885a308d3ULL;
+    auto next = [&seed]() {
+        seed ^= seed << 13; seed ^= seed >> 7; seed ^= seed << 17;
+        return seed;
+    };
+    for (int rep = 0; rep < 64; ++rep) {
+        Fq a[8], b[8], want_mul[8], want_add[8], want_sub[8], want_neg[8];
+        for (int k = 0; k < 8; ++k) {
+            for (int j = 0; j < 6; ++j) { a[k].l[j] = next(); b[k].l[j] = next(); }
+            a[k].l[5] &= (1ULL << 61) - 1;  // < 2^381-ish, then reduce
+            b[k].l[5] &= (1ULL << 61) - 1;
+            while (fq_geq_p(a[k])) fq_sub_p(a[k]);
+            while (fq_geq_p(b[k])) fq_sub_p(b[k]);
+            if (rep == 0 && k == 0) std::memset(a[k].l, 0, 48);  // zero lane
+            fq_mul(a[k], b[k], want_mul[k]);
+            fq_add(a[k], b[k], want_add[k]);
+            fq_sub(a[k], b[k], want_sub[k]);
+            fq_neg(a[k], want_neg[k]);
+        }
+        u64 pa[8 * 8], pb[8 * 8], pr[8 * 8];
+        convert_to52_batch(a, 8, pa);
+        convert_to52_batch(b, 8, pb);
+        const u64 *sa[8], *sb[8];
+        u64 *dr[8];
+        for (int k = 0; k < 8; ++k) {
+            sa[k] = pa + 8 * k; sb[k] = pb + 8 * k; dr[k] = pr + 8 * k;
+        }
+        ifma::Fq8 va, vb, vr;
+        ifma::load8(sa, va);
+        ifma::load8(sb, vb);
+        Fq got[8];
+        ifma::montmul8(va, vb, vr);
+        ifma::store8(vr, dr);
+        convert_from52_batch(pr, 8, got);
+        for (int k = 0; k < 8; ++k)
+            if (std::memcmp(got[k].l, want_mul[k].l, 48)) return 1;
+        ifma::add8(va, vb, vr);
+        ifma::store8(vr, dr);
+        convert_from52_batch(pr, 8, got);
+        for (int k = 0; k < 8; ++k)
+            if (std::memcmp(got[k].l, want_add[k].l, 48)) return 2;
+        ifma::sub8(va, vb, vr);
+        ifma::store8(vr, dr);
+        convert_from52_batch(pr, 8, got);
+        for (int k = 0; k < 8; ++k)
+            if (std::memcmp(got[k].l, want_sub[k].l, 48)) return 3;
+        ifma::neg8(va, vr);
+        ifma::store8(vr, dr);
+        convert_from52_batch(pr, 8, got);
+        for (int k = 0; k < 8; ++k)
+            if (std::memcmp(got[k].l, want_neg[k].l, 48)) return 4;
+    }
+    return 0;
+#else
+    return -1;
+#endif
 }
 
 }  // extern "C"
