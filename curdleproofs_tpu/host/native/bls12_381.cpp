@@ -1393,6 +1393,386 @@ void msm_glv_ba(const G1 *jac_pts, size_t n,
     }
 }
 
+#if CP_HAVE_IFMA
+
+// scalar helper: batch inversion of n mont64 field elements in place
+void batch_inv_mont64(Fq *v, size_t n) {
+    if (!n) return;
+    std::vector<Fq> prefix(n);
+    Fq acc;
+    std::memcpy(acc.l, ONE_MONT, 48);
+    for (size_t i = 0; i < n; ++i) {
+        prefix[i] = acc;
+        fq_mul(acc, v[i], acc);
+    }
+    Fq inv;
+    fq_inv(acc, inv);
+    for (size_t i = n; i-- > 0;) {
+        Fq vi;
+        fq_mul(inv, prefix[i], vi);
+        fq_mul(inv, v[i], inv);
+        v[i] = vi;
+    }
+}
+
+// invert all 8 lanes of `chains[nchains]` (mont52) through one scalar
+// inversion: extract -> mont64 -> batch invert -> back
+void invert_lanes52(const ifma::Fq8 *chains, size_t nchains, ifma::Fq8 *out) {
+    size_t total = nchains * 8;
+    std::vector<u64> packed(total * 8);
+    {
+        u64 *dsts[8];
+        for (size_t c = 0; c < nchains; ++c) {
+            for (int k = 0; k < 8; ++k) dsts[k] = packed.data() + (c * 8 + k) * 8;
+            ifma::store8(chains[c], dsts);
+        }
+    }
+    std::vector<Fq> vals(total);
+    convert_from52_batch(packed.data(), total, vals.data());
+    batch_inv_mont64(vals.data(), total);
+    convert_to52_batch(vals.data(), total, packed.data());
+    {
+        const u64 *srcs[8];
+        for (size_t c = 0; c < nchains; ++c) {
+            for (int k = 0; k < 8; ++k) srcs[k] = packed.data() + (c * 8 + k) * 8;
+            ifma::load8(srcs, out[c]);
+        }
+    }
+}
+
+// IFMA bucket accumulation: entries per slot are contiguous in `sorted`
+// (counting-sorted), points live in packed mont52 SoA arrays. Each slot's
+// entries are tree-reduced; every tree level is one batch of independent
+// affine additions across ALL slots, so the batch-inversion denominator
+// stream is level-wide. Levels with <32 pairs stop the tree and the
+// remaining per-slot heads are finished with scalar Jacobian adds.
+// Output: jac_buckets[nslots].
+void ifma_bucket_phase(const u64 *px52, const u64 *py52,
+                       const std::vector<uint8_t> &pinf,
+                       const std::vector<uint32_t> &sorted,
+                       const std::vector<uint32_t> &counts, size_t nslots,
+                       G1 *jac_buckets) {
+    const size_t m = sorted.size();
+    // ---- materialize work arrays (sign applied via neg8/select) ----
+    std::vector<u64> wx(m * 8), wy(m * 8);
+    std::vector<uint8_t> winf(m);
+    for (size_t base = 0; base < m; base += 8) {
+        size_t g = m - base < 8 ? m - base : 8;
+        const u64 *sx[8], *sy[8];
+        u64 *dy[8];
+        unsigned lanes = 0;
+        __mmask8 negm = 0;
+        for (size_t k = 0; k < 8; ++k) {
+            size_t e = base + (k < g ? k : 0);
+            uint32_t ent = sorted[e];
+            uint32_t pi = ent & 0x7fffffffu;
+            sx[k] = px52 + (size_t)pi * 8;
+            sy[k] = py52 + (size_t)pi * 8;
+            dy[k] = wy.data() + (base + (k < g ? k : 0)) * 8;
+            if (k < g) {
+                lanes |= 1u << k;
+                winf[e] = pinf[pi];
+                std::memcpy(wx.data() + e * 8, sx[k], 64);
+                if (ent >> 31) negm = (__mmask8)(negm | (1u << k));
+            }
+        }
+        ifma::Fq8 Y, YN;
+        ifma::load8(sy, Y);
+        if (negm) {
+            ifma::neg8(Y, YN);
+            ifma::select8(negm, YN, Y, Y);
+        }
+        ifma::store8(Y, dy, lanes);
+    }
+
+    // ---- slot segments; active = slots with >= 2 remaining heads ----
+    std::vector<uint32_t> active;
+    for (size_t s = 0; s < nslots; ++s)
+        if (counts[s + 1] - counts[s] >= 2) active.push_back((uint32_t)s);
+
+    struct Pair { uint32_t i, j; uint8_t dbl; };
+    std::vector<Pair> vec_pairs;
+    std::vector<ifma::Fq8> PREF;
+    ifma::Fq8 run[4], tinv[4];
+    std::vector<uint32_t> nxt;
+    size_t stride = 1;
+    bool done_tree = false;
+    while (!active.empty() && !done_tree) {
+        // classify this level's pairs; handle trivial kinds inline
+        vec_pairs.clear();
+        nxt.clear();
+        for (uint32_t s : active) {
+            uint32_t start = counts[s], end = counts[s + 1];
+            for (uint32_t k = start; k + stride < end; k += 2 * stride) {
+                uint32_t i = k, j = k + (uint32_t)stride;
+                if (winf[j]) continue;
+                if (winf[i]) {
+                    std::memcpy(wx.data() + i * 8, wx.data() + j * 8, 64);
+                    std::memcpy(wy.data() + i * 8, wy.data() + j * 8, 64);
+                    winf[i] = 0;
+                    winf[j] = 1;  // consumed (matters if the tree breaks here)
+                    continue;
+                }
+                if (!std::memcmp(wx.data() + i * 8, wx.data() + j * 8, 64)) {
+                    if (std::memcmp(wy.data() + i * 8, wy.data() + j * 8, 64)) {
+                        winf[i] = 1;  // P + (-P)
+                        winf[j] = 1;
+                    } else {
+                        vec_pairs.push_back({i, j, 1});
+                    }
+                    continue;
+                }
+                vec_pairs.push_back({i, j, 0});
+            }
+            if (counts[s + 1] - counts[s] > 2 * stride) nxt.push_back(s);
+        }
+        if (vec_pairs.size() < 32) {
+            // sparse level: leave heads for the scalar finish below
+            done_tree = true;
+            break;
+        }
+        size_t ngroups = (vec_pairs.size() + 7) / 8;
+        PREF.resize(ngroups);
+        // Two sweeps, storing only the PREF stream (cache-friendly):
+        // forward computes denominators in flight and builds 32 interleaved
+        // product chains; backward re-gathers operands, reconstructs the
+        // denominator, finishes the inversion and applies the formulas.
+        size_t nch = ngroups < 4 ? ngroups : 4;
+        auto gather_group = [&](size_t gidx, ifma::Fq8 &AX, ifma::Fq8 &AY,
+                                ifma::Fq8 &BX, ifma::Fq8 &BY,
+                                __mmask8 &dblm, __mmask8 &padm) {
+            const u64 *sax[8], *say[8], *sbx[8], *sby[8];
+            dblm = 0;
+            size_t base = gidx * 8;
+            for (int k = 0; k < 8; ++k) {
+                size_t e = base + k < vec_pairs.size() ? base + k : base;
+                const Pair &pr = vec_pairs[e];
+                sax[k] = wx.data() + (size_t)pr.i * 8;
+                say[k] = wy.data() + (size_t)pr.i * 8;
+                sbx[k] = wx.data() + (size_t)pr.j * 8;
+                sby[k] = wy.data() + (size_t)pr.j * 8;
+                if (base + k < vec_pairs.size() && pr.dbl)
+                    dblm = (__mmask8)(dblm | (1u << k));
+            }
+            padm = vec_pairs.size() - base < 8
+                       ? (__mmask8)(0xffu << (vec_pairs.size() - base))
+                       : (__mmask8)0;
+            ifma::load8(sax, AX); ifma::load8(say, AY);
+            ifma::load8(sbx, BX); ifma::load8(sby, BY);
+        };
+        auto make_den = [&](const ifma::Fq8 &AX, const ifma::Fq8 &AY,
+                            const ifma::Fq8 &BX, __mmask8 dblm, __mmask8 padm,
+                            ifma::Fq8 &den) {
+            ifma::sub8(BX, AX, den);
+            if (dblm) {
+                ifma::Fq8 d2;
+                ifma::dbl8(AY, d2);
+                ifma::select8(dblm, d2, den, den);
+            }
+            if (padm) {
+                ifma::Fq8 one;
+                ifma::broadcast8(ONE_MONT52, one);
+                ifma::select8(padm, one, den, den);
+            }
+        };
+        for (size_t ci = 0; ci < nch; ++ci) ifma::broadcast8(ONE_MONT52, run[ci]);
+        for (size_t gidx = 0; gidx < ngroups; ++gidx) {
+            ifma::Fq8 AX, AY, BX, BY, den;
+            __mmask8 dblm, padm;
+            gather_group(gidx, AX, AY, BX, BY, dblm, padm);
+            make_den(AX, AY, BX, dblm, padm, den);
+            size_t ci = (gidx & 3) % nch;
+            PREF[gidx] = run[ci];
+            ifma::montmul8(run[ci], den, run[ci]);
+        }
+        invert_lanes52(run, nch, tinv);
+        for (size_t gidx = ngroups; gidx-- > 0;) {
+            ifma::Fq8 AX, AY, BX, BY, den, num, inv;
+            __mmask8 dblm, padm;
+            gather_group(gidx, AX, AY, BX, BY, dblm, padm);
+            make_den(AX, AY, BX, dblm, padm, den);
+            size_t ci = (gidx & 3) % nch;
+            ifma::montmul8(tinv[ci], PREF[gidx], inv);
+            ifma::montmul8(tinv[ci], den, tinv[ci]);
+            ifma::sub8(BY, AY, num);
+            if (dblm) {
+                ifma::Fq8 t, t3;
+                ifma::sqr8(AX, t);
+                ifma::dbl8(t, t3);
+                ifma::add8(t3, t, t3);  // 3x^2
+                ifma::select8(dblm, t3, num, num);
+            }
+            ifma::Fq8 lam, x3, y3, t;
+            ifma::montmul8(num, inv, lam);
+            ifma::sqr8(lam, x3);
+            ifma::sub8(x3, AX, x3);
+            ifma::sub8(x3, BX, x3);
+            ifma::sub8(AX, x3, t);
+            ifma::montmul8(lam, t, y3);
+            ifma::sub8(y3, AY, y3);
+            u64 *dx[8], *dy[8];
+            unsigned lanes = 0;
+            size_t base = gidx * 8;
+            for (int k = 0; k < 8; ++k) {
+                size_t e = base + k < vec_pairs.size() ? base + k : base;
+                dx[k] = wx.data() + (size_t)vec_pairs[e].i * 8;
+                dy[k] = wy.data() + (size_t)vec_pairs[e].i * 8;
+                if (base + k < vec_pairs.size()) lanes |= 1u << k;
+            }
+            ifma::store8(x3, dx, lanes);
+            ifma::store8(y3, dy, lanes);
+        }
+        active.swap(nxt);
+        stride *= 2;
+    }
+
+    // ---- collect heads: batch-convert to mont64, Jacobian-chain per slot ----
+    std::vector<uint32_t> head_idx;   // indices into work arrays
+    std::vector<uint32_t> head_slot;  // owning slot
+    for (size_t s = 0; s < nslots; ++s) {
+        for (uint32_t k = counts[s]; k < counts[s + 1]; k += (uint32_t)stride)
+            if (!winf[k]) { head_idx.push_back(k); head_slot.push_back((uint32_t)s); }
+    }
+    size_t nh = head_idx.size();
+    std::vector<u64> hx(nh * 8), hy(nh * 8);
+    for (size_t h = 0; h < nh; ++h) {
+        std::memcpy(hx.data() + h * 8, wx.data() + (size_t)head_idx[h] * 8, 64);
+        std::memcpy(hy.data() + h * 8, wy.data() + (size_t)head_idx[h] * 8, 64);
+    }
+    std::vector<Fq> hxf(nh), hyf(nh);
+    convert_from52_batch(hx.data(), nh, hxf.data());
+    convert_from52_batch(hy.data(), nh, hyf.data());
+    for (size_t s = 0; s < nslots; ++s) g1_set_inf(jac_buckets[s]);
+    for (size_t h = 0; h < nh; ++h) {
+        G1 q;
+        q.x = hxf[h];
+        q.y = hyf[h];
+        std::memcpy(q.z.l, ONE_MONT, 48);
+        G1 &b = jac_buckets[head_slot[h]];
+        if (g1_is_inf(b)) b = q;
+        else { G1 t; g1_add(b, q, t); b = t; }
+    }
+}
+
+// full MSM on the IFMA path: GLV split done by the caller, recode + schedule
+// identical to msm_glv_ba, bucket phase vectorized.
+void msm_glv_ifma(const G1 *jac_pts, size_t n,
+                  const uint8_t *k1s, const uint8_t *negs1,
+                  const uint8_t *k2s, const uint8_t *negs2,
+                  const Fq &beta_mont, G1 &out) {
+    bool prof = std::getenv("CP_PROF") != nullptr;
+    auto tp0 = std::chrono::steady_clock::now();
+    std::vector<G1> norm(jac_pts, jac_pts + n);
+    batch_normalize(norm.data(), n);
+    size_t npts = 2 * n;
+    // affine coords in mont64 (for endo + sign below), then packed mont52
+    std::vector<Fq> ax(npts), ay(npts);
+    std::vector<uint8_t> pinf(npts);
+    for (size_t i = 0; i < n; ++i) {
+        bool inf = g1_is_inf(norm[i]);
+        pinf[i] = pinf[n + i] = inf;
+        if (inf) {
+            std::memset(ax[i].l, 0, 48); std::memset(ay[i].l, 0, 48);
+            ax[n + i] = ax[i]; ay[n + i] = ay[i];
+            continue;
+        }
+        ax[i] = norm[i].x;
+        ay[n + i] = ay[i] = norm[i].y;
+        fq_mul(norm[i].x, beta_mont, ax[n + i]);
+        if (negs1[i]) fq_neg(norm[i].y, ay[i]);
+        if (negs2[i]) fq_neg(norm[i].y, ay[n + i]);
+    }
+    std::vector<u64> px52(npts * 8), py52(npts * 8);
+    convert_to52_batch(ax.data(), npts, px52.data());
+    convert_to52_batch(ay.data(), npts, py52.data());
+
+    int c = pick_window_glv(npts);
+    int windows = (129 + c - 1) / c;
+    size_t nb = (size_t)1 << (c - 1);
+    size_t nslots = (size_t)windows * nb;
+
+    // signed-digit recode -> counting-sorted entries (same as msm_glv_ba,
+    // but sign baked into the entry's top bit only — negs were consumed
+    // into ay already, so here the entry sign tracks the DIGIT sign)
+    std::vector<uint32_t> counts(nslots + 1, 0);
+    struct Ent { uint32_t slot; uint32_t pi; };
+    std::vector<Ent> raw;
+    raw.reserve(npts * (size_t)((128 + c - 1) / c));
+    const int half = 1 << (c - 1);
+    const unsigned mask = (1u << c) - 1u;
+    for (size_t i = 0; i < npts; ++i) {
+        const uint8_t *s = (i < n) ? k1s + 16 * i : k2s + 16 * (i - n);
+        unsigned carry = 0;
+        for (int w = 0; w < windows; ++w) {
+            int bit_lo = w * c;
+            unsigned v = carry;
+            if (bit_lo < 128) {
+                int byte = bit_lo >> 3, off = bit_lo & 7;
+                uint64_t chunk = 0;
+                for (int b = 0; b < 3 && byte + b < 16; ++b)
+                    chunk |= (uint64_t)s[byte + b] << (8 * b);
+                v += (unsigned)((chunk >> off) & mask);
+            }
+            int d;
+            if (v > (unsigned)half) { d = (int)v - (1 << c); carry = 1; }
+            else { d = (int)v; carry = 0; }
+            if (d != 0) {
+                uint32_t slot = (uint32_t)w * (uint32_t)nb +
+                                (uint32_t)(d < 0 ? -d : d) - 1u;
+                uint32_t pi = (uint32_t)i | (d < 0 ? 0x80000000u : 0u);
+                raw.push_back({slot, pi});
+                counts[slot + 1]++;
+            }
+        }
+    }
+    for (size_t s = 1; s <= nslots; ++s) counts[s] += counts[s - 1];
+    std::vector<uint32_t> sorted(raw.size());
+    {
+        std::vector<uint32_t> cur(counts.begin(), counts.end() - 1);
+        for (const Ent &e : raw) sorted[cur[e.slot]++] = e.pi;
+    }
+    auto tp1 = std::chrono::steady_clock::now();
+
+    std::vector<G1> buckets(nslots);
+    ifma_bucket_phase(px52.data(), py52.data(), pinf, sorted, counts, nslots,
+                      buckets.data());
+    auto tp2 = std::chrono::steady_clock::now();
+
+    // chain + ladder (buckets are Jacobian with z in {0, 1})
+    g1_set_inf(out);
+    G1 t;
+    for (int w = windows - 1; w >= 0; --w) {
+        for (int k = 0; k < c; ++k) g1_double(out, out);
+        size_t hi = 0;
+        for (size_t b = nb; b-- > 0;)
+            if (!g1_is_inf(buckets[(size_t)w * nb + b])) { hi = b + 1; break; }
+        if (!hi) continue;
+        G1 running, wsum;
+        g1_set_inf(running);
+        g1_set_inf(wsum);
+        for (size_t b = hi; b-- > 0;) {
+            const G1 &bk = buckets[(size_t)w * nb + b];
+            if (!g1_is_inf(bk)) { g1_add(running, bk, t); running = t; }
+            g1_add(wsum, running, t);
+            wsum = t;
+        }
+        g1_add(out, wsum, t);
+        out = t;
+    }
+    if (prof) {
+        auto tp3 = std::chrono::steady_clock::now();
+        fprintf(stderr,
+                "[glv-ifma] n=%zu c=%d W=%d entries=%zu setup=%.1fms "
+                "buckets=%.1fms chain=%.1fms\n",
+                n, c, windows, raw.size(),
+                std::chrono::duration<double, std::milli>(tp1 - tp0).count(),
+                std::chrono::duration<double, std::milli>(tp2 - tp1).count(),
+                std::chrono::duration<double, std::milli>(tp3 - tp2).count());
+    }
+}
+
+#endif  // CP_HAVE_IFMA
+
 }  // namespace
 
 extern "C" {
@@ -1406,8 +1786,57 @@ void cp_msm_glv(const uint8_t *points, uint64_t n,
     Fq beta;
     load_fq(beta48, beta);
     G1 r;
+#if CP_HAVE_IFMA
+    if (!std::getenv("CP_NO_IFMA"))
+        msm_glv_ifma(pts.data(), n, k1s, negs1, k2s, negs2, beta, r);
+    else
+        msm_glv_ba(pts.data(), n, k1s, negs1, k2s, negs2, beta, r);
+#else
     msm_glv_ba(pts.data(), n, k1s, negs1, k2s, negs2, beta, r);
+#endif
     store_g1(r, out);
+}
+
+}  // extern "C"
+
+// ---- ChaCha12 block function (rand 0.8 StdRng hot path) ----
+// Semantics mirror host/rng.py::_chacha12_four_blocks exactly (djb variant,
+// 64-bit block counter in words 12-13, words 14-15 zero).
+
+extern "C" {
+
+void cp_chacha12_four_blocks(const uint32_t key[8], uint64_t counter,
+                             uint32_t out[64]) {
+    for (int blk = 0; blk < 4; ++blk) {
+        uint64_t ctr = counter + (uint64_t)blk;
+        uint32_t st[16] = {
+            0x61707865u, 0x3320646Eu, 0x79622D32u, 0x6B206574u,
+            key[0], key[1], key[2], key[3],
+            key[4], key[5], key[6], key[7],
+            (uint32_t)ctr, (uint32_t)(ctr >> 32), 0, 0,
+        };
+        uint32_t x[16];
+        std::memcpy(x, st, sizeof(x));
+#define CP_ROTL(v, r) (((v) << (r)) | ((v) >> (32 - (r))))
+#define CP_QR(a, b, c, d)                                   \
+        x[a] += x[b]; x[d] ^= x[a]; x[d] = CP_ROTL(x[d], 16); \
+        x[c] += x[d]; x[b] ^= x[c]; x[b] = CP_ROTL(x[b], 12); \
+        x[a] += x[b]; x[d] ^= x[a]; x[d] = CP_ROTL(x[d], 8);  \
+        x[c] += x[d]; x[b] ^= x[c]; x[b] = CP_ROTL(x[b], 7)
+        for (int r = 0; r < 6; ++r) {
+            CP_QR(0, 4, 8, 12);
+            CP_QR(1, 5, 9, 13);
+            CP_QR(2, 6, 10, 14);
+            CP_QR(3, 7, 11, 15);
+            CP_QR(0, 5, 10, 15);
+            CP_QR(1, 6, 11, 12);
+            CP_QR(2, 7, 8, 13);
+            CP_QR(3, 4, 9, 14);
+        }
+#undef CP_QR
+#undef CP_ROTL
+        for (int i = 0; i < 16; ++i) out[blk * 16 + i] = x[i] + st[i];
+    }
 }
 
 }  // extern "C"

@@ -84,6 +84,36 @@ def _qr(x: list[int], a: int, b: int, c: int, d: int) -> None:
     x[b] = ((x[b] << 7) | (x[b] >> 25)) & _MASK32
 
 
+_NATIVE_CHACHA = False  # False = unprobed, None = unavailable
+
+
+def _native_chacha():
+    """Returns a callable (key_words, counter) -> 64 u32 words, or None."""
+    global _NATIVE_CHACHA
+    if _NATIVE_CHACHA is False:
+        try:
+            import ctypes
+
+            from . import native
+
+            lib = native.lib()
+            if lib is None:
+                _NATIVE_CHACHA = None
+            else:
+                fn = lib.cp_chacha12_four_blocks
+
+                def call(key_words: list[int], counter: int) -> list[int]:
+                    key = (ctypes.c_uint32 * 8)(*key_words)
+                    out = (ctypes.c_uint32 * 64)()
+                    fn(key, ctypes.c_uint64(counter), out)
+                    return list(out)
+
+                _NATIVE_CHACHA = call
+        except Exception:
+            _NATIVE_CHACHA = None
+    return _NATIVE_CHACHA
+
+
 class StdRng:
     """rand 0.8 StdRng (ChaCha12Rng) with BlockRng word-stream semantics."""
 
@@ -99,7 +129,11 @@ class StdRng:
         return cls(seed_from_u64(seed))
 
     def _refill(self) -> None:
-        self._results = _chacha12_four_blocks(self._key, self._counter)
+        native = _native_chacha()
+        if native is not None:
+            self._results = native(self._key, self._counter)
+        else:
+            self._results = _chacha12_four_blocks(self._key, self._counter)
         self._counter = (self._counter + 4) & _MASK64
         self._index = 0
 
