@@ -811,6 +811,15 @@ void batch_normalize(G1 *pts, size_t n) {
 
 }  // namespace
 
+#if CP_HAVE_IFMA
+namespace {
+// defined below with the IFMA ladder machinery
+void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
+               const uint8_t *beta48, const uint8_t *k1, int neg1,
+               const uint8_t *k2, int neg2, uint8_t *out);
+}  // namespace
+#endif
+
 extern "C" {
 
 void cp_batch_normalize(uint8_t *points_inout, uint64_t n) {
@@ -826,6 +835,12 @@ void cp_dual_mul_norm(const uint8_t *left_bytes, const uint8_t *points,
                       const uint8_t *k1, int32_t neg1,
                       const uint8_t *k2, int32_t neg2, int32_t nbits,
                       uint8_t *out) {
+#if CP_HAVE_IFMA
+    if (nbits <= 128 && n >= 4 && !std::getenv("CP_NO_IFMA")) {
+        fold_ifma(left_bytes, points, n, beta48, k1, neg1, k2, neg2, out);
+        return;
+    }
+#endif
     Fq beta;
     load_fq(beta48, beta);
     std::vector<G1> res(n);
@@ -1188,6 +1203,344 @@ int cp_ifma_selftest(void) {
 }
 
 }  // extern "C"
+
+// ---- IFMA 8-wide Jacobian group law + shared-scalar GLV ladder ----
+// Vectorizes the fold / batch-scalar-mul hot loops (inner_product_argument.rs
+// :170-179 point folds, grand_product_argument.rs:90-102 basis rescaling):
+// eight points advance through the same double-and-add schedule in lockstep,
+// one field op per limb-vector instruction.
+
+#if CP_HAVE_IFMA
+
+namespace {
+
+struct Jac8 {
+    ifma::Fq8 X, Y, Z;  // Z == 0 lane => infinity
+};
+
+inline void set_inf_jac8(Jac8 &p) {
+    ifma::set_zero8(p.X);
+    ifma::set_zero8(p.Y);
+    ifma::set_zero8(p.Z);
+}
+
+// P[k] = 2 P[k] for K independent lane-groups; each field-op step runs the K
+// instances back-to-back so the montmul8 pipeline stays full (a single group
+// is latency-bound: the group law is one long dependency chain).
+// Handles infinity lanes implicitly: Z3 = 2YZ = 0.
+template <int K>
+void dbl_jacK(Jac8 *p) {
+    using namespace ifma;
+    Fq8 A[K], B[K], C[K], D[K], E[K], F[K], t[K], x3[K], y3[K], z3[K], c8[K];
+#define FORK for (int k = 0; k < K; ++k)
+    FORK sqr8(p[k].X, A[k]);
+    FORK sqr8(p[k].Y, B[k]);
+    FORK sqr8(B[k], C[k]);
+    FORK add8(p[k].X, B[k], t[k]);
+    FORK sqr8(t[k], t[k]);
+    FORK sub8(t[k], A[k], t[k]);
+    FORK sub8(t[k], C[k], t[k]);
+    FORK dbl8(t[k], D[k]);
+    FORK dbl8(A[k], E[k]);
+    FORK add8(E[k], A[k], E[k]);          // E = 3A
+    FORK sqr8(E[k], F[k]);
+    FORK sub8(F[k], D[k], x3[k]);
+    FORK sub8(x3[k], D[k], x3[k]);        // X3 = F - 2D
+    FORK montmul8(p[k].Y, p[k].Z, z3[k]);
+    FORK dbl8(z3[k], p[k].Z);             // Z3 = 2YZ
+    FORK sub8(D[k], x3[k], t[k]);
+    FORK montmul8(E[k], t[k], y3[k]);
+    FORK dbl8(C[k], c8[k]);
+    FORK dbl8(c8[k], c8[k]);
+    FORK dbl8(c8[k], c8[k]);              // 8C
+    FORK sub8(y3[k], c8[k], p[k].Y);
+    FORK p[k].X = x3[k];
+#undef FORK
+}
+
+inline void dbl_jac8(Jac8 &p) { dbl_jacK<1>(&p); }
+
+// P[k] = P[k] + Q[k] (general Jacobian add, a = 0) for K independent groups.
+// Degenerate lanes resolved with masks: P inf -> Q, Q inf -> P,
+// H == 0 && r == 0 -> double, H == 0 && r != 0 -> infinity.
+template <int K>
+void add_jacK(Jac8 *p, const Jac8 *q) {
+    using namespace ifma;
+    __mmask8 pinf[K], qinf[K], hz, dblm[K], cancel[K];
+    Fq8 z1z1[K], z2z2[K], u1[K], u2[K], s1[K], s2[K], h[K], r[K];
+    Fq8 i[K], j[K], v[K], x3[K], y3[K], z3[K], t[K];
+    Jac8 saved[K];
+#define FORK for (int k = 0; k < K; ++k)
+    FORK saved[k] = p[k];
+    FORK pinf[k] = is_zero8(p[k].Z);
+    FORK qinf[k] = is_zero8(q[k].Z);
+    FORK sqr8(p[k].Z, z1z1[k]);
+    FORK sqr8(q[k].Z, z2z2[k]);
+    FORK montmul8(p[k].X, z2z2[k], u1[k]);
+    FORK montmul8(q[k].X, z1z1[k], u2[k]);
+    FORK montmul8(p[k].Y, q[k].Z, s1[k]);
+    FORK montmul8(s1[k], z2z2[k], s1[k]);
+    FORK montmul8(q[k].Y, p[k].Z, s2[k]);
+    FORK montmul8(s2[k], z1z1[k], s2[k]);
+    FORK sub8(u2[k], u1[k], h[k]);
+    FORK sub8(s2[k], s1[k], r[k]);
+    FORK dbl8(r[k], r[k]);
+    bool any_dbl = false;
+    FORK {
+        hz = (__mmask8)(is_zero8(h[k]) & ~pinf[k] & ~qinf[k]);
+        dblm[k] = (__mmask8)(hz & is_zero8(r[k]));
+        cancel[k] = (__mmask8)(hz & ~dblm[k]);
+        if (dblm[k]) any_dbl = true;
+    }
+    FORK dbl8(h[k], i[k]);
+    FORK sqr8(i[k], i[k]);              // I = (2H)^2
+    FORK montmul8(h[k], i[k], j[k]);    // J = H*I
+    FORK montmul8(u1[k], i[k], v[k]);   // V = U1*I
+    FORK sqr8(r[k], x3[k]);
+    FORK sub8(x3[k], j[k], x3[k]);
+    FORK sub8(x3[k], v[k], x3[k]);
+    FORK sub8(x3[k], v[k], x3[k]);      // X3 = r^2 - J - 2V
+    FORK sub8(v[k], x3[k], t[k]);
+    FORK montmul8(r[k], t[k], y3[k]);
+    FORK montmul8(s1[k], j[k], t[k]);
+    FORK dbl8(t[k], t[k]);
+    FORK sub8(y3[k], t[k], y3[k]);      // Y3 = r(V-X3) - 2 S1 J
+    FORK add8(p[k].Z, q[k].Z, z3[k]);
+    FORK sqr8(z3[k], z3[k]);
+    FORK sub8(z3[k], z1z1[k], z3[k]);
+    FORK sub8(z3[k], z2z2[k], z3[k]);
+    FORK montmul8(z3[k], h[k], z3[k]);  // Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) H
+    Jac8 dbl_res[K];
+    if (any_dbl) {
+        FORK { dbl_res[k] = p[k]; }
+        dbl_jacK<K>(dbl_res);
+    }
+    FORK {
+        select8(pinf[k], q[k].X, x3[k], p[k].X);
+        select8(pinf[k], q[k].Y, y3[k], p[k].Y);
+        select8(pinf[k], q[k].Z, z3[k], p[k].Z);
+        if (qinf[k]) {
+            select8(qinf[k], saved[k].X, p[k].X, p[k].X);
+            select8(qinf[k], saved[k].Y, p[k].Y, p[k].Y);
+            select8(qinf[k], saved[k].Z, p[k].Z, p[k].Z);
+        }
+        if (dblm[k]) {
+            select8(dblm[k], dbl_res[k].X, p[k].X, p[k].X);
+            select8(dblm[k], dbl_res[k].Y, p[k].Y, p[k].Y);
+            select8(dblm[k], dbl_res[k].Z, p[k].Z, p[k].Z);
+        }
+        if (cancel[k]) {
+            Fq8 zero;
+            set_zero8(zero);
+            select8(cancel[k], zero, p[k].Z, p[k].Z);
+        }
+    }
+#undef FORK
+}
+
+inline void add_jac8(Jac8 &p, const Jac8 &q) { add_jacK<1>(&p, &q); }
+
+// signed base-16 digit recode of a <=128-bit little-endian value;
+// out[nwin] digits in [-8, 8]
+int recode16(const uint8_t k[16], int digits[34]) {
+    int nwin = 33;  // ceil(129/4)
+    unsigned carry = 0;
+    for (int w = 0; w < nwin; ++w) {
+        int bit_lo = w * 4;
+        unsigned v = carry;
+        if (bit_lo < 128) {
+            unsigned byte = (unsigned)k[bit_lo >> 3];
+            v += (bit_lo & 4) ? (byte >> 4) : (byte & 0xf);
+        }
+        if (v > 8) { digits[w] = (int)v - 16; carry = 1; }
+        else { digits[w] = (int)v; carry = 0; }
+    }
+    while (nwin > 1 && digits[nwin - 1] == 0) --nwin;
+    return nwin;
+}
+
+// Shared-scalar GLV ladder over K interleaved groups of 8 points each
+// (the interleave hides montmul8 latency; K = 2 is the sweet spot on the
+// target Xeon). b1/b2: the two effective bases (sign of the GLV halves
+// already applied), affine mont52 vertical. Tables hold 1..8 multiples in
+// Jacobian form; digits are SHARED across all points (same scalar).
+template <int K>
+void ladder_groupK(const ifma::Fq8 *b1x, const ifma::Fq8 *b1y,
+                   const __mmask8 *b1inf, const ifma::Fq8 *b2x,
+                   const ifma::Fq8 *b2y, const __mmask8 *b2inf,
+                   const int *d1, const int *d2, int nwin, Jac8 *acc) {
+    using namespace ifma;
+    Fq8 one, zero;
+    broadcast8(ONE_MONT52, one);
+    set_zero8(zero);
+    Jac8 tab[2][8][K];  // [base][entry][instance]
+    for (int bsel = 0; bsel < 2; ++bsel) {
+        Jac8(*t)[K] = tab[bsel];
+        for (int k = 0; k < K; ++k) {
+            t[0][k].X = bsel ? b2x[k] : b1x[k];
+            t[0][k].Y = bsel ? b2y[k] : b1y[k];
+            __mmask8 inf = bsel ? b2inf[k] : b1inf[k];
+            select8(inf, zero, one, t[0][k].Z);  // infinity lanes: Z = 0
+        }
+#define CPY(d, s) for (int k = 0; k < K; ++k) t[d][k] = t[s][k]
+        CPY(1, 0); dbl_jacK<K>(t[1]);                      // 2P
+        CPY(2, 1); add_jacK<K>(t[2], t[0]);                // 3P
+        CPY(3, 1); dbl_jacK<K>(t[3]);                      // 4P
+        CPY(4, 3); add_jacK<K>(t[4], t[0]);                // 5P
+        CPY(5, 2); dbl_jacK<K>(t[5]);                      // 6P
+        CPY(6, 5); add_jacK<K>(t[6], t[0]);                // 7P
+        CPY(7, 3); dbl_jacK<K>(t[7]);                      // 8P
+#undef CPY
+    }
+    for (int k = 0; k < K; ++k) set_inf_jac8(acc[k]);
+    bool started = false;
+    for (int w = nwin - 1; w >= 0; --w) {
+        if (started)
+            for (int s = 0; s < 4; ++s) dbl_jacK<K>(acc);
+        for (int bsel = 0; bsel < 2; ++bsel) {
+            int d = bsel ? d2[w] : d1[w];
+            if (!d) continue;
+            started = true;
+            Jac8(*t)[K] = tab[bsel];
+            const Jac8 *e = t[(d < 0 ? -d : d) - 1];
+            if (d > 0) {
+                add_jacK<K>(acc, e);
+            } else {
+                Jac8 en[K];
+                for (int k = 0; k < K; ++k) {
+                    en[k] = e[k];
+                    neg8(e[k].Y, en[k].Y);
+                }
+                add_jacK<K>(acc, en);
+            }
+        }
+    }
+}
+
+// out[i] = (left ? left[i] : 0) + k*right[i] for the SHARED GLV-split scalar
+// (k1, k2 16-byte magnitudes; signs neg1/neg2). Outputs batch-normalized
+// (z = 1). Eight points per lane-group, whole ladder per group so the
+// per-group tables stay cache-resident.
+void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
+               const uint8_t *beta48, const uint8_t *k1, int neg1,
+               const uint8_t *k2, int neg2, uint8_t *out) {
+    using namespace ifma;
+    if (!n) return;
+    std::vector<G1> right(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, right[i]);
+    batch_normalize(right.data(), n);
+    Fq beta;
+    load_fq(beta48, beta);
+    std::vector<Fq> b1x(n), b1y(n), b2x(n), b2y(n);
+    std::vector<uint8_t> inf(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        inf[i] = g1_is_inf(right[i]);
+        if (inf[i]) {
+            std::memset(b1x[i].l, 0, 48); std::memset(b1y[i].l, 0, 48);
+            b2x[i] = b1x[i]; b2y[i] = b1y[i];
+            continue;
+        }
+        b1x[i] = right[i].x;
+        fq_mul(right[i].x, beta, b2x[i]);
+        if (neg1) fq_neg(right[i].y, b1y[i]); else b1y[i] = right[i].y;
+        if (neg2) fq_neg(right[i].y, b2y[i]); else b2y[i] = right[i].y;
+    }
+    size_t ng = ((size_t)n + 7) / 8;
+    std::vector<u64> p1x(ng * 64), p1y(ng * 64), p2x(ng * 64), p2y(ng * 64);
+    convert_to52_batch(b1x.data(), n, p1x.data());
+    convert_to52_batch(b1y.data(), n, p1y.data());
+    convert_to52_batch(b2x.data(), n, p2x.data());
+    convert_to52_batch(b2y.data(), n, p2y.data());
+    std::vector<u64> lx, ly, lz;
+    if (left_bytes) {
+        std::vector<Fq> t(n);
+        lx.resize(ng * 64); ly.resize(ng * 64); lz.resize(ng * 64);
+        for (uint64_t i = 0; i < n; ++i) load_fq(left_bytes + 144 * i, t[i]);
+        convert_to52_batch(t.data(), n, lx.data());
+        for (uint64_t i = 0; i < n; ++i) load_fq(left_bytes + 144 * i + 48, t[i]);
+        convert_to52_batch(t.data(), n, ly.data());
+        for (uint64_t i = 0; i < n; ++i) load_fq(left_bytes + 144 * i + 96, t[i]);
+        convert_to52_batch(t.data(), n, lz.data());
+    }
+    int d1[34], d2[34];
+    int w1 = recode16(k1, d1), w2 = recode16(k2, d2);
+    int nwin = w1 > w2 ? w1 : w2;
+    for (int w = w1; w < nwin; ++w) d1[w] = 0;
+    for (int w = w2; w < nwin; ++w) d2[w] = 0;
+
+    constexpr int K = 2;  // interleaved lane-groups (latency hiding)
+    std::vector<u64> ox(ng * 64), oy(ng * 64), oz(ng * 64);
+    for (size_t base = 0; base < n; base += 8 * K) {
+        Fq8 B1X[K], B1Y[K], B2X[K], B2Y[K];
+        __mmask8 infm[K];
+        unsigned lanes[K];
+        for (int g = 0; g < K; ++g) {
+            size_t gb = base + 8 * (size_t)g;
+            size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
+            lanes[g] = m == 8 ? 0xffu : ((1u << m) - 1u);
+            const u64 *s1x[8], *s1y[8], *s2x[8], *s2y[8];
+            infm[g] = 0;
+            for (int kk = 0; kk < 8; ++kk) {
+                size_t e = (size_t)kk < m ? gb + kk : base;
+                s1x[kk] = p1x.data() + e * 8;
+                s1y[kk] = p1y.data() + e * 8;
+                s2x[kk] = p2x.data() + e * 8;
+                s2y[kk] = p2y.data() + e * 8;
+                if ((size_t)kk >= m || inf[e])
+                    infm[g] = (__mmask8)(infm[g] | (1u << kk));
+            }
+            load8(s1x, B1X[g]); load8(s1y, B1Y[g]);
+            load8(s2x, B2X[g]); load8(s2y, B2Y[g]);
+        }
+        Jac8 acc[K];
+        ladder_groupK<K>(B1X, B1Y, infm, B2X, B2Y, infm, d1, d2, nwin, acc);
+        if (left_bytes) {
+            Jac8 L[K];
+            for (int g = 0; g < K; ++g) {
+                size_t gb = base + 8 * (size_t)g;
+                size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
+                const u64 *slx[8], *sly[8], *slz[8];
+                for (int kk = 0; kk < 8; ++kk) {
+                    size_t e = (size_t)kk < m ? gb + kk : base;
+                    slx[kk] = lx.data() + e * 8;
+                    sly[kk] = ly.data() + e * 8;
+                    slz[kk] = lz.data() + e * 8;
+                }
+                load8(slx, L[g].X); load8(sly, L[g].Y); load8(slz, L[g].Z);
+            }
+            add_jacK<K>(acc, L);
+        }
+        for (int g = 0; g < K; ++g) {
+            if (!lanes[g]) continue;
+            size_t gb = base + 8 * (size_t)g;
+            u64 *dx[8], *dy[8], *dz[8];
+            for (int kk = 0; kk < 8; ++kk) {
+                size_t e = gb + (size_t)kk;
+                size_t safe = e < n ? e : gb;
+                dx[kk] = ox.data() + safe * 8;
+                dy[kk] = oy.data() + safe * 8;
+                dz[kk] = oz.data() + safe * 8;
+            }
+            store8(acc[g].X, dx, lanes[g]);
+            store8(acc[g].Y, dy, lanes[g]);
+            store8(acc[g].Z, dz, lanes[g]);
+        }
+    }
+    std::vector<Fq> rx(n), ry(n), rz(n);
+    convert_from52_batch(ox.data(), n, rx.data());
+    convert_from52_batch(oy.data(), n, ry.data());
+    convert_from52_batch(oz.data(), n, rz.data());
+    std::vector<G1> res(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        res[i].x = rx[i]; res[i].y = ry[i]; res[i].z = rz[i];
+    }
+    batch_normalize(res.data(), n);
+    for (uint64_t i = 0; i < n; ++i) store_g1(res[i], out + 144 * i);
+}
+
+}  // namespace
+
+#endif  // CP_HAVE_IFMA
 
 // ---- GLV + signed-digit + batch-affine Pippenger (the flagship host MSM) ----
 // Each 255-bit scalar is pre-split (host side) into k1 + k2*lambda with
