@@ -60,6 +60,14 @@ class G1:
     @staticmethod
     def batch_to_affine(points: list["G1"]) -> list[tuple[int, int] | None]:
         """Normalise many points with a single field inversion."""
+        if len(points) >= 8:
+            try:
+                from . import native
+
+                if native.available():
+                    return native.batch_to_affine(points)
+            except Exception:
+                pass
         zs = [p.z for p in points]
         zinvs = batch_inversion(zs, Q)
         out: list[tuple[int, int] | None] = []

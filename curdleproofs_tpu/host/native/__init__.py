@@ -131,6 +131,23 @@ def mul_glv(p: G1, scalar: int) -> G1:
     return pts_from_bytes(out.raw, 1)[0]
 
 
+def batch_to_affine(points: list[G1]) -> list[tuple[int, int] | None]:
+    """Affine (x, y) per point (None for infinity) via ONE native inversion."""
+    n = len(points)
+    buf = ctypes.create_string_buffer(pts_to_bytes(points), _POINT * n)
+    lib().cp_batch_normalize(buf, n)
+    raw = buf.raw
+    out: list[tuple[int, int] | None] = []
+    for i in range(n):
+        o = i * _POINT
+        if raw[o + 96 : o + 144] == b"\x00" * 48:
+            out.append(None)
+        else:
+            out.append((int.from_bytes(raw[o : o + 48], "little"),
+                        int.from_bytes(raw[o + 48 : o + 96], "little")))
+    return out
+
+
 def batch_mul_glv(points: list[G1], scalar: int) -> list[G1]:
     n = len(points)
     k1b, n1, k2b, n2, nbits, beta = _dual_args(scalar)

@@ -1552,13 +1552,16 @@ void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
 
 namespace {
 
-int pick_window_glv(size_t npts) {  // npts = 2n after the GLV split
+int pick_window_glv(size_t npts, bool vector_chain = false) {
+    // npts = 2n after the GLV split. With the IFMA vectorized chain the
+    // per-bucket cost drops from ~27 scalar muls to ~4 mul-equivalents.
+    double chain_cost = vector_chain ? 4.0 : 27.0;
     double best = 1e30;
     int bestc = 6;
     for (int c = 4; c <= 12; ++c) {
         double w = (129.0 + c - 1.0) / c;
-        // bucket phase ~6M/add; chain ~27M per bucket (mixed + full add)
-        double cost = w * ((double)npts * 6.0 + (double)(1 << (c - 1)) * 27.0);
+        double cost = w * ((double)npts * 6.0 +
+                           (double)(1 << (c - 1)) * chain_cost);
         if (cost < best) { best = cost; bestc = c; }
     }
     return bestc;
@@ -1797,14 +1800,16 @@ void invert_lanes52(const ifma::Fq8 *chains, size_t nchains, ifma::Fq8 *out) {
 // (counting-sorted), points live in packed mont52 SoA arrays. Each slot's
 // entries are tree-reduced; every tree level is one batch of independent
 // affine additions across ALL slots, so the batch-inversion denominator
-// stream is level-wide. Levels with <32 pairs stop the tree and the
-// remaining per-slot heads are finished with scalar Jacobian adds.
-// Output: jac_buckets[nslots].
+// stream is level-wide. Levels with <32 pairs stop the tree; leftover heads
+// beyond the first per slot are returned as mont64 `extras`.
+// Output: packed-52 affine bucket heads (bkx/bky/binf) + extras.
 void ifma_bucket_phase(const u64 *px52, const u64 *py52,
                        const std::vector<uint8_t> &pinf,
                        const std::vector<uint32_t> &sorted,
                        const std::vector<uint32_t> &counts, size_t nslots,
-                       G1 *jac_buckets) {
+                       std::vector<u64> &bkx, std::vector<u64> &bky,
+                       std::vector<uint8_t> &binf,
+                       std::vector<std::pair<uint32_t, G1>> &extras) {
     const size_t m = sorted.size();
     // ---- materialize work arrays (sign applied via neg8/select) ----
     std::vector<u64> wx(m * 8), wy(m * 8);
@@ -1979,31 +1984,78 @@ void ifma_bucket_phase(const u64 *px52, const u64 *py52,
         stride *= 2;
     }
 
-    // ---- collect heads: batch-convert to mont64, Jacobian-chain per slot ----
-    std::vector<uint32_t> head_idx;   // indices into work arrays
-    std::vector<uint32_t> head_slot;  // owning slot
+    // ---- collect heads: first per slot -> packed bucket arrays; the rest
+    //      (only present if the tree stopped early) -> mont64 extras ----
+    bkx.assign(nslots * 8, 0);
+    bky.assign(nslots * 8, 0);
+    binf.assign(nslots, 1);
+    std::vector<uint32_t> ex_idx, ex_slot;
     for (size_t s = 0; s < nslots; ++s) {
-        for (uint32_t k = counts[s]; k < counts[s + 1]; k += (uint32_t)stride)
-            if (!winf[k]) { head_idx.push_back(k); head_slot.push_back((uint32_t)s); }
+        for (uint32_t k = counts[s]; k < counts[s + 1]; k += (uint32_t)stride) {
+            if (winf[k]) continue;
+            if (binf[s]) {
+                std::memcpy(bkx.data() + s * 8, wx.data() + (size_t)k * 8, 64);
+                std::memcpy(bky.data() + s * 8, wy.data() + (size_t)k * 8, 64);
+                binf[s] = 0;
+            } else {
+                ex_idx.push_back(k);
+                ex_slot.push_back((uint32_t)s);
+            }
+        }
     }
-    size_t nh = head_idx.size();
-    std::vector<u64> hx(nh * 8), hy(nh * 8);
-    for (size_t h = 0; h < nh; ++h) {
-        std::memcpy(hx.data() + h * 8, wx.data() + (size_t)head_idx[h] * 8, 64);
-        std::memcpy(hy.data() + h * 8, wy.data() + (size_t)head_idx[h] * 8, 64);
+    size_t nh = ex_idx.size();
+    extras.clear();
+    if (nh) {
+        std::vector<u64> hx(nh * 8), hy(nh * 8);
+        for (size_t h = 0; h < nh; ++h) {
+            std::memcpy(hx.data() + h * 8, wx.data() + (size_t)ex_idx[h] * 8, 64);
+            std::memcpy(hy.data() + h * 8, wy.data() + (size_t)ex_idx[h] * 8, 64);
+        }
+        std::vector<Fq> hxf(nh), hyf(nh);
+        convert_from52_batch(hx.data(), nh, hxf.data());
+        convert_from52_batch(hy.data(), nh, hyf.data());
+        for (size_t h = 0; h < nh; ++h) {
+            G1 q;
+            q.x = hxf[h];
+            q.y = hyf[h];
+            std::memcpy(q.z.l, ONE_MONT, 48);
+            extras.emplace_back(ex_slot[h], q);
+        }
     }
-    std::vector<Fq> hxf(nh), hyf(nh);
-    convert_from52_batch(hx.data(), nh, hxf.data());
-    convert_from52_batch(hy.data(), nh, hyf.data());
-    for (size_t s = 0; s < nslots; ++s) g1_set_inf(jac_buckets[s]);
-    for (size_t h = 0; h < nh; ++h) {
-        G1 q;
-        q.x = hxf[h];
-        q.y = hyf[h];
-        std::memcpy(q.z.l, ONE_MONT, 48);
-        G1 &b = jac_buckets[head_slot[h]];
-        if (g1_is_inf(b)) b = q;
-        else { G1 t; g1_add(b, q, t); b = t; }
+}
+
+// Bucket chains vectorized ACROSS windows: lane (k*8 + j) of instance k runs
+// window wg0*8.. 's running/weighted sums; nb sequential steps of two
+// Jacobian adds each, K instances interleaved for latency hiding.
+template <int K>
+void chain_windows(const u64 *bkx, const u64 *bky,
+                   const std::vector<uint8_t> &binf, size_t nb, int windows,
+                   int wg0, Jac8 *wsum) {
+    using namespace ifma;
+    Fq8 one, zero;
+    broadcast8(ONE_MONT52, one);
+    set_zero8(zero);
+    Jac8 run[K];
+    for (int k = 0; k < K; ++k) { set_inf_jac8(run[k]); set_inf_jac8(wsum[k]); }
+    for (ptrdiff_t b = (ptrdiff_t)nb - 1; b >= 0; --b) {
+        Jac8 Q[K];
+        for (int k = 0; k < K; ++k) {
+            const u64 *sx[8], *sy[8];
+            __mmask8 infm = 0;
+            for (int lane = 0; lane < 8; ++lane) {
+                int w = (wg0 + k) * 8 + lane;
+                size_t slot = w < windows ? (size_t)w * nb + (size_t)b : 0;
+                sx[lane] = bkx + slot * 8;
+                sy[lane] = bky + slot * 8;
+                if (w >= windows || binf[slot])
+                    infm = (__mmask8)(infm | (1u << lane));
+            }
+            load8(sx, Q[k].X);
+            load8(sy, Q[k].Y);
+            select8(infm, zero, one, Q[k].Z);
+        }
+        add_jacK<K>(run, Q);
+        add_jacK<K>(wsum, run);
     }
 }
 
@@ -2039,7 +2091,7 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     convert_to52_batch(ax.data(), npts, px52.data());
     convert_to52_batch(ay.data(), npts, py52.data());
 
-    int c = pick_window_glv(npts);
+    int c = pick_window_glv(npts, /*vector_chain=*/true);
     int windows = (129 + c - 1) / c;
     size_t nb = (size_t)1 << (c - 1);
     size_t nslots = (size_t)windows * nb;
@@ -2086,31 +2138,76 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     }
     auto tp1 = std::chrono::steady_clock::now();
 
-    std::vector<G1> buckets(nslots);
+    std::vector<u64> bkx, bky;
+    std::vector<uint8_t> binf;
+    std::vector<std::pair<uint32_t, G1>> extras;
     ifma_bucket_phase(px52.data(), py52.data(), pinf, sorted, counts, nslots,
-                      buckets.data());
+                      bkx, bky, binf, extras);
     auto tp2 = std::chrono::steady_clock::now();
 
-    // chain + ladder (buckets are Jacobian with z in {0, 1})
-    g1_set_inf(out);
+    // running/weighted bucket chains, 8 windows per lane-group, instances
+    // interleaved; then extras, then the scalar Horner ladder over windows
+    int wg_total = (windows + 7) / 8;
+    std::vector<Jac8> wsum_v(wg_total);
+    for (int wg0 = 0; wg0 < wg_total;) {
+        int rem = wg_total - wg0;
+        if (rem >= 3) {
+            chain_windows<3>(bkx.data(), bky.data(), binf, nb, windows, wg0,
+                             wsum_v.data() + wg0);
+            wg0 += 3;
+        } else if (rem == 2) {
+            chain_windows<2>(bkx.data(), bky.data(), binf, nb, windows, wg0,
+                             wsum_v.data() + wg0);
+            wg0 += 2;
+        } else {
+            chain_windows<1>(bkx.data(), bky.data(), binf, nb, windows, wg0,
+                             wsum_v.data() + wg0);
+            wg0 += 1;
+        }
+    }
+    // extract the per-window sums to mont64 Jacobian
+    std::vector<u64> sxp((size_t)wg_total * 64), syp((size_t)wg_total * 64),
+        szp((size_t)wg_total * 64);
+    for (int wg = 0; wg < wg_total; ++wg) {
+        u64 *dx[8], *dy[8], *dz[8];
+        for (int lane = 0; lane < 8; ++lane) {
+            size_t e = (size_t)wg * 8 + lane;
+            dx[lane] = sxp.data() + e * 8;
+            dy[lane] = syp.data() + e * 8;
+            dz[lane] = szp.data() + e * 8;
+        }
+        ifma::store8(wsum_v[wg].X, dx);
+        ifma::store8(wsum_v[wg].Y, dy);
+        ifma::store8(wsum_v[wg].Z, dz);
+    }
+    size_t nw8 = (size_t)wg_total * 8;
+    std::vector<Fq> sxf(nw8), syf(nw8), szf(nw8);
+    convert_from52_batch(sxp.data(), nw8, sxf.data());
+    convert_from52_batch(syp.data(), nw8, syf.data());
+    convert_from52_batch(szp.data(), nw8, szf.data());
+    std::vector<G1> wsums(windows);
+    for (int w = 0; w < windows; ++w) {
+        wsums[w].x = sxf[w];
+        wsums[w].y = syf[w];
+        wsums[w].z = szf[w];
+    }
+    // extras: a head beyond the first in bucket (w, b) contributes (b+1)*E
     G1 t;
+    for (const auto &ex : extras) {
+        int w = (int)(ex.first / nb);
+        u64 weight = (u64)(ex.first % nb) + 1;
+        uint8_t sc[32] = {0};
+        std::memcpy(sc, &weight, 8);
+        G1 scaled;
+        g1_mul(ex.second, sc, scaled);
+        g1_add(wsums[w], scaled, t);
+        wsums[w] = t;
+    }
+    // Horner ladder
+    g1_set_inf(out);
     for (int w = windows - 1; w >= 0; --w) {
         for (int k = 0; k < c; ++k) g1_double(out, out);
-        size_t hi = 0;
-        for (size_t b = nb; b-- > 0;)
-            if (!g1_is_inf(buckets[(size_t)w * nb + b])) { hi = b + 1; break; }
-        if (!hi) continue;
-        G1 running, wsum;
-        g1_set_inf(running);
-        g1_set_inf(wsum);
-        for (size_t b = hi; b-- > 0;) {
-            const G1 &bk = buckets[(size_t)w * nb + b];
-            if (!g1_is_inf(bk)) { g1_add(running, bk, t); running = t; }
-            g1_add(wsum, running, t);
-            wsum = t;
-        }
-        g1_add(out, wsum, t);
-        out = t;
+        if (!g1_is_inf(wsums[w])) { g1_add(out, wsums[w], t); out = t; }
     }
     if (prof) {
         auto tp3 = std::chrono::steady_clock::now();
