@@ -23,6 +23,20 @@ typedef uint64_t u64;
 // ---- generated-at-build-time constants (see build.py) ----
 #include "constants_generated.h"
 #include "ifma52.h"
+
+#if CP_HAVE_IFMA
+namespace {
+// defined below with the IFMA ladder machinery
+void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
+               const uint8_t *beta48, const uint8_t *k1, int neg1,
+               const uint8_t *k2, int neg2, uint8_t *out);
+void batch_mul_each_ifma(const uint8_t *points, uint64_t n,
+                         const uint8_t *beta48,
+                         const uint8_t *k1s, const uint8_t *negs1,
+                         const uint8_t *k2s, const uint8_t *negs2,
+                         uint8_t *out);
+}  // namespace
+#endif
 // Provides:
 //   static const u64 P[6];        // Fq modulus
 //   static const u64 P_INV64;     // -p^{-1} mod 2^64
@@ -743,6 +757,14 @@ void cp_dual_mul_each(const uint8_t *points, uint64_t n,
                       const uint8_t *k1s, const int8_t *negs1,
                       const uint8_t *k2s, const int8_t *negs2,
                       int32_t nbits, uint8_t *out) {
+#if CP_HAVE_IFMA
+    if (nbits <= 128 && n >= 4 && !std::getenv("CP_NO_IFMA")) {
+        batch_mul_each_ifma(points, n, beta48, k1s,
+                            (const uint8_t *)negs1, k2s,
+                            (const uint8_t *)negs2, out);
+        return;
+    }
+#endif
     Fq beta;
     load_fq(beta48, beta);
     for (uint64_t i = 0; i < n; ++i) {
@@ -810,15 +832,6 @@ void batch_normalize(G1 *pts, size_t n) {
 }
 
 }  // namespace
-
-#if CP_HAVE_IFMA
-namespace {
-// defined below with the IFMA ladder machinery
-void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
-               const uint8_t *beta48, const uint8_t *k1, int neg1,
-               const uint8_t *k2, int neg2, uint8_t *out);
-}  // namespace
-#endif
 
 extern "C" {
 
@@ -1509,6 +1522,175 @@ void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
                 load8(slx, L[g].X); load8(sly, L[g].Y); load8(slz, L[g].Z);
             }
             add_jacK<K>(acc, L);
+        }
+        for (int g = 0; g < K; ++g) {
+            if (!lanes[g]) continue;
+            size_t gb = base + 8 * (size_t)g;
+            u64 *dx[8], *dy[8], *dz[8];
+            for (int kk = 0; kk < 8; ++kk) {
+                size_t e = gb + (size_t)kk;
+                size_t safe = e < n ? e : gb;
+                dx[kk] = ox.data() + safe * 8;
+                dy[kk] = oy.data() + safe * 8;
+                dz[kk] = oz.data() + safe * 8;
+            }
+            store8(acc[g].X, dx, lanes[g]);
+            store8(acc[g].Y, dy, lanes[g]);
+            store8(acc[g].Z, dz, lanes[g]);
+        }
+    }
+    std::vector<Fq> rx(n), ry(n), rz(n);
+    convert_from52_batch(ox.data(), n, rx.data());
+    convert_from52_batch(oy.data(), n, ry.data());
+    convert_from52_batch(oz.data(), n, rz.data());
+    std::vector<G1> res(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        res[i].x = rx[i]; res[i].y = ry[i]; res[i].z = rz[i];
+    }
+    batch_normalize(res.data(), n);
+    for (uint64_t i = 0; i < n; ++i) store_g1(res[i], out + 144 * i);
+}
+
+// out[i] = k_i * P_i with PER-POINT GLV-split scalars. Same 8-wide ladder as
+// fold_ifma, but the window digits differ per lane: the table entry is chosen
+// per lane with mask selects, zero-digit lanes are masked out by setting the
+// addend's Z to 0 (add_jacK's q-infinity path keeps the accumulator).
+void batch_mul_each_ifma(const uint8_t *points, uint64_t n,
+                         const uint8_t *beta48,
+                         const uint8_t *k1s, const uint8_t *negs1,
+                         const uint8_t *k2s, const uint8_t *negs2,
+                         uint8_t *out) {
+    using namespace ifma;
+    if (!n) return;
+    std::vector<G1> right(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, right[i]);
+    batch_normalize(right.data(), n);
+    Fq beta;
+    load_fq(beta48, beta);
+    std::vector<Fq> b1x(n), b1y(n), b2x(n), b2y(n);
+    std::vector<uint8_t> inf(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        inf[i] = g1_is_inf(right[i]);
+        if (inf[i]) {
+            std::memset(b1x[i].l, 0, 48); std::memset(b1y[i].l, 0, 48);
+            b2x[i] = b1x[i]; b2y[i] = b1y[i];
+            continue;
+        }
+        b1x[i] = right[i].x;
+        fq_mul(right[i].x, beta, b2x[i]);
+        if (negs1[i]) fq_neg(right[i].y, b1y[i]); else b1y[i] = right[i].y;
+        if (negs2[i]) fq_neg(right[i].y, b2y[i]); else b2y[i] = right[i].y;
+    }
+    size_t ng = ((size_t)n + 7) / 8;
+    std::vector<u64> p1x(ng * 64), p1y(ng * 64), p2x(ng * 64), p2y(ng * 64);
+    convert_to52_batch(b1x.data(), n, p1x.data());
+    convert_to52_batch(b1y.data(), n, p1y.data());
+    convert_to52_batch(b2x.data(), n, p2x.data());
+    convert_to52_batch(b2y.data(), n, p2y.data());
+    // per-point digits (33 windows each for both halves); the caller's scalar
+    // buffers are 32-byte entries with the top 16 bytes zero (nbits <= 128)
+    std::vector<int8_t> dig1(n * 33), dig2(n * 33);
+    int digits[34];
+    for (uint64_t i = 0; i < n; ++i) {
+        recode16(k1s + 32 * i, digits);
+        for (int w = 0; w < 33; ++w) dig1[i * 33 + w] = (int8_t)digits[w];
+        recode16(k2s + 32 * i, digits);
+        for (int w = 0; w < 33; ++w) dig2[i * 33 + w] = (int8_t)digits[w];
+    }
+
+    constexpr int K = 2;
+    std::vector<u64> ox(ng * 64), oy(ng * 64), oz(ng * 64);
+    Fq8 one, zero;
+    broadcast8(ONE_MONT52, one);
+    set_zero8(zero);
+    for (size_t base = 0; base < n; base += 8 * K) {
+        Fq8 B1X[K], B1Y[K], B2X[K], B2Y[K];
+        __mmask8 infm[K];
+        unsigned lanes[K];
+        size_t lane_pt[K][8];  // point index per lane (clamped for pads)
+        for (int g = 0; g < K; ++g) {
+            size_t gb = base + 8 * (size_t)g;
+            size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
+            lanes[g] = m == 8 ? 0xffu : ((1u << m) - 1u);
+            const u64 *s1x[8], *s1y[8], *s2x[8], *s2y[8];
+            infm[g] = 0;
+            for (int kk = 0; kk < 8; ++kk) {
+                size_t e = (size_t)kk < m ? gb + kk : base;
+                lane_pt[g][kk] = e;
+                s1x[kk] = p1x.data() + e * 8;
+                s1y[kk] = p1y.data() + e * 8;
+                s2x[kk] = p2x.data() + e * 8;
+                s2y[kk] = p2y.data() + e * 8;
+                if ((size_t)kk >= m || inf[e])
+                    infm[g] = (__mmask8)(infm[g] | (1u << kk));
+            }
+            load8(s1x, B1X[g]); load8(s1y, B1Y[g]);
+            load8(s2x, B2X[g]); load8(s2y, B2Y[g]);
+        }
+        // tables (same build as ladder_groupK)
+        Jac8 tab[2][8][K];
+        for (int bsel = 0; bsel < 2; ++bsel) {
+            Jac8(*t)[K] = tab[bsel];
+            for (int k = 0; k < K; ++k) {
+                t[0][k].X = bsel ? B2X[k] : B1X[k];
+                t[0][k].Y = bsel ? B2Y[k] : B1Y[k];
+                select8(infm[k], zero, one, t[0][k].Z);
+            }
+#define CPY(d, s) for (int k = 0; k < K; ++k) t[d][k] = t[s][k]
+            CPY(1, 0); dbl_jacK<K>(t[1]);
+            CPY(2, 1); add_jacK<K>(t[2], t[0]);
+            CPY(3, 1); dbl_jacK<K>(t[3]);
+            CPY(4, 3); add_jacK<K>(t[4], t[0]);
+            CPY(5, 2); dbl_jacK<K>(t[5]);
+            CPY(6, 5); add_jacK<K>(t[6], t[0]);
+            CPY(7, 3); dbl_jacK<K>(t[7]);
+#undef CPY
+        }
+        Jac8 acc[K];
+        for (int k = 0; k < K; ++k) set_inf_jac8(acc[k]);
+        for (int w = 32; w >= 0; --w) {
+            if (w != 32)
+                for (int s = 0; s < 4; ++s) dbl_jacK<K>(acc);
+            for (int bsel = 0; bsel < 2; ++bsel) {
+                const std::vector<int8_t> &dig = bsel ? dig2 : dig1;
+                Jac8 Q[K];
+                bool any = false;
+                for (int g = 0; g < K; ++g) {
+                    __mmask8 negm = 0, zerom = 0;
+                    int d_abs[8];
+                    for (int kk = 0; kk < 8; ++kk) {
+                        int d = dig[lane_pt[g][kk] * 33 + w];
+                        if (d == 0) { zerom = (__mmask8)(zerom | (1u << kk)); d_abs[kk] = 1; }
+                        else if (d < 0) { negm = (__mmask8)(negm | (1u << kk)); d_abs[kk] = -d; }
+                        else d_abs[kk] = d;
+                    }
+                    if (zerom == 0xff) {
+                        set_inf_jac8(Q[g]);
+                        continue;
+                    }
+                    any = true;
+                    // per-lane table entry select
+                    Q[g] = tab[bsel][d_abs[0] - 1][g];
+                    for (int e = 1; e <= 8; ++e) {
+                        __mmask8 m = 0;
+                        for (int kk = 0; kk < 8; ++kk)
+                            if (d_abs[kk] == e) m = (__mmask8)(m | (1u << kk));
+                        if (!m || e == d_abs[0]) continue;
+                        const Jac8 &te = tab[bsel][e - 1][g];
+                        select8(m, te.X, Q[g].X, Q[g].X);
+                        select8(m, te.Y, Q[g].Y, Q[g].Y);
+                        select8(m, te.Z, Q[g].Z, Q[g].Z);
+                    }
+                    if (negm) {
+                        Fq8 yneg;
+                        neg8(Q[g].Y, yneg);
+                        select8(negm, yneg, Q[g].Y, Q[g].Y);
+                    }
+                    if (zerom)
+                        select8(zerom, zero, Q[g].Z, Q[g].Z);
+                }
+                if (any) add_jacK<K>(acc, Q);
+            }
         }
         for (int g = 0; g < K; ++g) {
             if (!lanes[g]) continue;
