@@ -86,31 +86,32 @@ def bench_protocol(ell: int, repeats: int = 3):
 
 
 def bench_msm_throughput(log_n: int = 12):
-    """Device MSM scalar-muls/sec/chip at 2^log_n points."""
+    """Device MSM scalar-muls/sec/chip at 2^log_n points (fixed-shape
+    pallas bucket fold, ops/msm_device.py)."""
     _enable_compile_cache()
-    import jax
-    import jax.numpy as jnp
+    import os
 
+    os.environ.setdefault("CURDLEPROOFS_USE_PALLAS", "1")
+    import random
+
+    from curdleproofs_tpu.constants import R
     from curdleproofs_tpu.host.rng import StdRng
-    from curdleproofs_tpu.ops.g1_ops import points_to_device
-    from curdleproofs_tpu.ops.limbs import ints_to_bits
-    from curdleproofs_tpu.ops.msm import NBITS, msm_jit
+    from curdleproofs_tpu.ops.msm_device import msm_device
 
     n = 1 << log_n
     rng = StdRng.seed_from_u64(1)
+    rnd = random.Random(1)
     base = [rng.rand_g1() for _ in range(64)]
-    pts = points_to_device([base[i % 64] for i in range(n)])
-    bits = jnp.asarray(ints_to_bits([rng.rand_fr() for _ in range(n)], NBITS))
+    pts = [base[i % 64] for i in range(n)]
+    ss = [rnd.randrange(R) for _ in range(n)]
 
-    out = msm_jit(pts, bits)
-    jax.block_until_ready(out)
-    reps = 3
+    msm_device(pts, ss)  # compile + warm
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = msm_jit(pts, bits)
-    jax.block_until_ready(out)
+        msm_device(pts, ss)
     dt = (time.perf_counter() - t0) / reps
-    return n / dt  # scalar-muls per second
+    return n / dt  # scalar-muls per second (end-to-end incl. host plan)
 
 
 def main():

@@ -45,9 +45,9 @@ class HybridBackend:
 
     def msm(self, points, scalars):
         if len(points) >= self.device_msm_threshold:
-            from .msm_pippenger import msm_pippenger
+            from .msm_device import msm_device
 
-            return msm_pippenger(points, scalars)
+            return msm_device(points, scalars)
         return self._host.msm(points, scalars)
 
     def batch_mul(self, points, scalar):

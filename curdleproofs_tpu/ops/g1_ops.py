@@ -130,27 +130,28 @@ def g1_select(cond, p: PointsXYZ, q: PointsXYZ) -> PointsXYZ:
 
 # --- host <-> device conversion ------------------------------------------------
 
+@jax.jit
+def _to_mont_device(x, y, z):
+    """Canonical limb arrays -> Montgomery form on device (montmul by R^2)."""
+    r2 = jnp.asarray(ints_to_limbs([FQ.mont_R2], FQ_LIMBS).T)  # [24, 1]
+    return FQ.mul(x, r2), FQ.mul(y, r2), FQ.mul(z, r2)
+
+
 def points_to_device(points: list[G1]) -> PointsXYZ:
     """Host G1 list -> limb-major projective Montgomery arrays [24, N].
 
-    Normalises to affine on host (one batch inversion) so device Z is 0/1-mont.
+    Normalises to affine on host (one batch inversion, native when available)
+    and does the Montgomery form change on DEVICE — no per-point host bigint
+    work beyond the byte repack.
     """
     affs = G1.batch_to_affine(points)
-    xs, ys, zs = [], [], []
-    for aff in affs:
-        if aff is None:
-            xs.append(0)
-            ys.append(FQ.to_mont(1))
-            zs.append(0)
-        else:
-            xs.append(FQ.to_mont(aff[0]))
-            ys.append(FQ.to_mont(aff[1]))
-            zs.append(FQ.to_mont(1))
-    return PointsXYZ(
-        x=jnp.asarray(ints_to_limbs(xs, FQ_LIMBS).T),
-        y=jnp.asarray(ints_to_limbs(ys, FQ_LIMBS).T),
-        z=jnp.asarray(ints_to_limbs(zs, FQ_LIMBS).T),
-    )
+    xs = [0 if a is None else a[0] for a in affs]
+    ys = [1 if a is None else a[1] for a in affs]
+    zs = [0 if a is None else 1 for a in affs]
+    x = jnp.asarray(ints_to_limbs(xs, FQ_LIMBS).T)
+    y = jnp.asarray(ints_to_limbs(ys, FQ_LIMBS).T)
+    z = jnp.asarray(ints_to_limbs(zs, FQ_LIMBS).T)
+    return PointsXYZ(*_to_mont_device(x, y, z))
 
 
 def points_from_device(p: PointsXYZ) -> list[G1]:

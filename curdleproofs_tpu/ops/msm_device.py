@@ -1,0 +1,277 @@
+"""Fixed-shape device Pippenger MSM (the TPU flagship kernel).
+
+The previous device MSM (ops/msm_pippenger.py) tree-reduces per-bucket
+occupancy lists, which traces a distinct Pallas shape per tree level and per
+chunk — minutes of Mosaic compilation before the first run. This design keeps
+the ENTIRE device phase one `lax.scan` whose body is a single complete
+Jacobian add at one fixed shape, so exactly one kernel is compiled:
+
+- host (numpy): GLV-split every scalar into two <=2^128 halves (signs folded
+  into the point index), signed base-2^c digit recode, then a load-balanced
+  slot plan: each (window, bucket) owns ceil(occupancy / T) slots capped at T
+  entries, entries round-robin — so the scan depth is T regardless of digit
+  skew (the top carry window would otherwise put ~half the points in ONE
+  bucket; cf. the same fix in the host MSM, bls12_381.cpp).
+- device: extend points to [P, phi(P), -P, -phi(P), inf] (Jacobian, so no
+  normalisation needed), then scan T rows of gather+complete-add over all
+  slots at once. One XLA program, one Pallas g1_add shape.
+- host: download the S slot accumulators and finish with a small weighted
+  native MSM per window (weights = bucket values, < 2^(c-1)) and the Horner
+  window ladder.
+
+Replaces arkworks `VariableBaseMSM` on the device side (util.rs:19-22);
+this is the kernel behind BASELINE.json config 3 (the 2^10..2^20 sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..constants import R
+from ..host import glv
+from ..host.g1 import G1
+from .field import FQ
+from .g1_ops import (
+    PointsXYZ, g1_add, g1_infinity, points_from_device, points_to_device,
+)
+
+__all__ = ["build_plan_glv", "msm_device", "pick_window_device"]
+
+_LANE_PAD = 512  # slot axis padded to the Pallas block size
+
+
+def pick_window_device(n: int) -> int:
+    """Minimise device fold lanes (~40 ns each) + host combine (~6 us/slot)."""
+    best, bestc = float("inf"), 8
+    for c in range(6, 17):
+        w = -(-129 // c)
+        b = 1 << (c - 1)
+        entries = 2 * n * w
+        t = max(8, -(-2 * entries // (w * b)))
+        occupied = min(w * b, entries)
+        s = entries // t + occupied
+        cost = s * t * 40e-9 + s * 6e-6
+        if cost < best:
+            best, bestc = cost, c
+    return bestc
+
+
+@dataclass
+class PlanGLV:
+    plan: np.ndarray          # [T, S] int32 indices into the extended points
+    slot_window: np.ndarray   # [S] int32
+    slot_weight: np.ndarray   # [S] int32 (bucket value, 0 = dead slot)
+    windows: int
+    c: int
+    n_points: int
+
+
+def _signed_digits(mags: np.ndarray, c: int) -> np.ndarray:
+    """mags: [m, 16] uint8 LE magnitudes < 2^128 -> signed digits [W, m]."""
+    m = mags.shape[0]
+    windows = -(-129 // c)
+    bits = np.unpackbits(mags, axis=1, bitorder="little")  # [m, 128]
+    need = windows * c
+    bits = np.pad(bits, ((0, 0), (0, need - 128)))
+    weights = (1 << np.arange(c)).astype(np.int64)
+    # window digit values via one BLAS matvec over the reshaped bit matrix
+    raw = (bits.reshape(-1, c).astype(np.int64) @ weights).reshape(m, windows)
+    half = 1 << (c - 1)
+    out = np.zeros((windows, m), dtype=np.int32)
+    carry = np.zeros(m, dtype=np.int64)
+    for w in range(windows):
+        v = raw[:, w] + carry
+        neg = v > half
+        out[w] = np.where(neg, v - (1 << c), v).astype(np.int32)
+        carry = neg.astype(np.int64)
+    return out
+
+
+def build_plan_glv(scalars: list[int], n_points: int, c: int) -> PlanGLV:
+    """Host-side load-balanced gather plan over GLV-split signed digits."""
+    n = len(scalars)
+    n2 = 2 * n
+    sentinel = 2 * n2  # index of the infinity row in the extended points
+    windows = -(-129 // c)
+    n_buckets = 1 << (c - 1)
+
+    halves = [glv.decompose(s % R) for s in scalars]
+    buf = b"".join(abs(k1).to_bytes(16, "little") for k1, _ in halves) + \
+          b"".join(abs(k2).to_bytes(16, "little") for _, k2 in halves)
+    mags = np.frombuffer(buf, dtype=np.uint8).reshape(n2, 16)
+    negs = np.fromiter(
+        ((k1 < 0) for k1, _ in halves), dtype=np.uint8, count=n)
+    negs = np.concatenate([negs, np.fromiter(
+        ((k2 < 0) for _, k2 in halves), dtype=np.uint8, count=n)])
+    digits = _signed_digits(mags, c)  # [W, n2]
+
+    # entries: (key = window*B + |d|-1, ext index = pt + 2n * effective_neg)
+    keys, idxs = [], []
+    pt_idx = np.arange(n2, dtype=np.int64)
+    for w in range(windows):
+        d = digits[w]
+        nz = np.nonzero(d)[0]
+        if nz.size == 0:
+            continue
+        dv = d[nz]
+        eff_neg = (dv < 0).astype(np.int64) ^ negs[nz]
+        keys.append(w * n_buckets + np.abs(dv).astype(np.int64) - 1)
+        idxs.append(pt_idx[nz] + n2 * eff_neg)
+    if not keys:
+        return PlanGLV(np.full((1, _LANE_PAD), sentinel, np.int32),
+                       np.zeros(_LANE_PAD, np.int32),
+                       np.zeros(_LANE_PAD, np.int32), windows, c, n_points)
+    keys = np.concatenate(keys)
+    idxs = np.concatenate(idxs)
+    n_entries = keys.size
+
+    counts = np.bincount(keys, minlength=windows * n_buckets)
+    cap = max(8, -(-2 * n_entries // max(1, windows * n_buckets)))
+    cap = -(-cap // 8) * 8  # T must be a multiple of the kernel's row block
+    nslots_per_key = -(-counts // cap)
+    slot_base = np.concatenate([[0], np.cumsum(nslots_per_key)])
+    s_total = int(slot_base[-1])
+    s_pad = -(-max(s_total, 1) // _LANE_PAD) * _LANE_PAD
+
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    sorted_idxs = idxs[order]
+    # position of each entry within its key run
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(n_entries, dtype=np.int64) - starts[sorted_keys]
+    slot = slot_base[sorted_keys] + pos // cap
+    row = pos % cap
+
+    plan = np.full((cap, s_pad), sentinel, dtype=np.int32)
+    plan[row, slot] = sorted_idxs.astype(np.int32)
+
+    slot_window = np.zeros(s_pad, dtype=np.int32)
+    slot_weight = np.zeros(s_pad, dtype=np.int32)
+    occupied = np.nonzero(nslots_per_key)[0]
+    for k in occupied:
+        sl = slice(slot_base[k], slot_base[k + 1])
+        slot_window[sl] = k // n_buckets
+        slot_weight[sl] = (k % n_buckets) + 1
+    return PlanGLV(plan, slot_window, slot_weight, windows, c, n_points)
+
+
+@jax.jit
+def _extend_points(pts: PointsXYZ) -> PointsXYZ:
+    """[P] -> [P, phi(P), -P, -phi(P), inf] (Jacobian: phi = beta*X; -P = -Y)."""
+    beta = FQ.const(glv.BETA, (1,))  # [24, 1] broadcasts over the batch
+    xe = FQ.mul(pts.x, jnp.broadcast_to(beta, pts.x.shape))
+    yn = FQ.neg(pts.y)
+    inf = g1_infinity((1,))
+    x = jnp.concatenate([pts.x, xe, pts.x, xe, inf.x], axis=1)
+    y = jnp.concatenate([pts.y, pts.y, yn, yn, inf.y], axis=1)
+    z = jnp.concatenate([pts.z, pts.z, pts.z, pts.z, inf.z], axis=1)
+    return PointsXYZ(x, y, z)
+
+
+@jax.jit
+def _bucket_scan(ext: PointsXYZ, plan: jnp.ndarray) -> PointsXYZ:
+    """plan: [T, S] -> slot accumulators [24, S]; ONE g1_add shape."""
+    s = plan.shape[1]
+    init = g1_infinity((s,))
+
+    def step(buckets, row):
+        q = PointsXYZ(jnp.take(ext.x, row, axis=1),
+                      jnp.take(ext.y, row, axis=1),
+                      jnp.take(ext.z, row, axis=1))
+        return g1_add(buckets, q), None
+
+    buckets, _ = lax.scan(step, init, plan)
+    return buckets
+
+
+@jax.jit
+def _bucket_fold(ext: PointsXYZ, plan: jnp.ndarray) -> PointsXYZ:
+    """Same result as _bucket_scan via ONE pallas call: XLA pre-gathers all
+    [T, S] rows, the kernel loops the T accumulation steps internally, and the
+    outputs leave Montgomery form on-device (mont-mul by 1) so the host-side
+    decode is a cheap byte repack."""
+    def take(a):
+        return jnp.take(a, plan, axis=1)  # [24, T, S], the kernel's layout
+
+    from .limbs import int_to_limbs
+    from .pallas_kernels import g1_fold_rows_pallas
+
+    bx, by, bz = g1_fold_rows_pallas(take(ext.x), take(ext.y), take(ext.z))
+    one_plain = jnp.asarray(int_to_limbs(1, FQ.L)).reshape(FQ.L, 1)
+    return PointsXYZ(FQ.mul(bx, one_plain), FQ.mul(by, one_plain),
+                     FQ.mul(bz, one_plain))
+
+
+def _decode_canonical(arr) -> list[int]:
+    """[L, S] canonical 16-bit limbs (uint32 lanes) -> python ints, vectorised."""
+    a = np.asarray(arr).astype(np.uint16).T  # [S, L] little-endian halfwords
+    rows = np.ascontiguousarray(a).view(np.uint8)  # [S, 2L]
+    return [int.from_bytes(r.tobytes(), "little") for r in rows]
+
+
+def _points_from_canonical(p: PointsXYZ) -> list[G1]:
+    """Canonical projective limb arrays -> host G1 list (affine via X/Z)."""
+    from ..constants import Q
+    from ..host.field import batch_inversion
+
+    xs = _decode_canonical(p.x)
+    ys = _decode_canonical(p.y)
+    zs = _decode_canonical(p.z)
+    zinvs = batch_inversion(zs, Q)
+    out = []
+    for x, y, z, zi in zip(xs, ys, zs, zinvs):
+        if z == 0:
+            out.append(G1.infinity())
+        else:
+            out.append(G1.from_affine(x * zi % Q, y * zi % Q))
+    return out
+
+
+def msm_device(points: list[G1], scalars: list[int],
+               c: int | None = None) -> G1:
+    """Device bucket phase (one pallas call) + host weighted combine."""
+    n = len(points)
+    if n == 0:
+        return G1.infinity()
+    if c is None:
+        c = pick_window_device(n)
+    plan = build_plan_glv(scalars, n, c)
+    pts = points_to_device(points)
+    ext = _extend_points(pts)
+    from .g1_ops import use_pallas
+
+    if use_pallas():
+        buckets = _bucket_fold(ext, jnp.asarray(plan.plan))
+        host_buckets = _points_from_canonical(buckets)
+    else:  # CPU/test path: plain scan + jnp group law
+        buckets = _bucket_scan(ext, jnp.asarray(plan.plan))
+        host_buckets = points_from_device(buckets)
+
+    from ..host import native
+
+    use_native = native.available()
+    acc = G1.infinity()
+    for w in range(plan.windows - 1, -1, -1):
+        for _ in range(c):
+            acc = acc.double()
+        sel = np.nonzero(plan.slot_window == w)[0]
+        live = [i for i in sel if plan.slot_weight[i] > 0
+                and host_buckets[i].z != 0]
+        if not live:
+            continue
+        wpts = [host_buckets[i] for i in live]
+        wss = [int(plan.slot_weight[i]) for i in live]
+        if use_native and len(wpts) >= 2:
+            s_w = native.msm(wpts, wss)
+        else:
+            s_w = G1.infinity()
+            for p, s in zip(wpts, wss):
+                s_w = s_w.add(p.mul(s))
+        acc = acc.add(s_w)
+    return acc

@@ -239,6 +239,62 @@ def _g1_add_pallas_padded(x1, y1, z1, x2, y2, z2):
     )(x1, y1, z1, x2, y2, z2)
 
 
+_T_BLK = 8  # rows per grid step: 3 coords x 8 x 24 x 512 x 4 B ~ 4.5 MB VMEM
+
+
+def _g1_fold_rows_kernel(x_ref, y_ref, z_ref, ox, oy, oz):
+    """Accumulate _T_BLK pre-gathered point rows into the output accumulator.
+
+    Grid is (S blocks, T blocks) with T minor: the output block stays VMEM-
+    resident across the T revisits, so the whole bucket phase of an MSM is
+    ONE pallas call (per-call dispatch overhead on the target platform is
+    ~0.5 ms, which would otherwise dominate). On the first T step the
+    accumulator initialises to the infinity point (0, 1_mont, 0).
+    """
+    j = pl.program_id(1)
+    first = j == 0
+    width = x_ref.shape[2]
+    acc_x = [jnp.where(first, jnp.zeros((width,), jnp.uint32), ox[i, :])
+             for i in range(L)]
+    acc_y = [jnp.where(first, jnp.full((width,), _ONE_MONT[i], jnp.uint32),
+                       oy[i, :]) for i in range(L)]
+    acc_z = [jnp.where(first, jnp.zeros((width,), jnp.uint32), oz[i, :])
+             for i in range(L)]
+    acc = (acc_x, acc_y, acc_z)
+
+    def body(t, acc):
+        q = ([x_ref[i, t, :] for i in range(L)],
+             [y_ref[i, t, :] for i in range(L)],
+             [z_ref[i, t, :] for i in range(L)])
+        return _k_g1_add(acc, q)
+
+    acc = jax.lax.fori_loop(0, _T_BLK, body, acc)
+    _store_point((ox, oy, oz), acc)
+
+
+@jax.jit
+def g1_fold_rows_pallas(x, y, z):
+    """x, y, z: [L, T, S] (S mult of 512, T mult of 8) -> folded [L, S].
+
+    The [L, T, S] layout is exactly what jnp.take(ext, plan, axis=1)
+    produces, so no physical transpose sits between the gather and the fold.
+    """
+    _, t_rows, n = x.shape
+    spec_in = pl.BlockSpec((L, _T_BLK, _BLOCK), lambda i, j: (0, j, i),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((L, _BLOCK), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((L, n), jnp.uint32)
+                      for _ in range(3))
+    return pl.pallas_call(
+        _g1_fold_rows_kernel,
+        out_shape=out_shape,
+        grid=(n // _BLOCK, t_rows // _T_BLK),
+        in_specs=[spec_in] * 3,
+        out_specs=(spec_out, spec_out, spec_out),
+    )(x, y, z)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def g1_add_pallas(p, q, interpret: bool = False):
     """Batched complete add on limb-major points; each field [L, N]."""
