@@ -18,14 +18,21 @@ __all__ = [
 
 
 class G1:
-    """A G1 point in Jacobian coordinates (X, Y, Z); Z == 0 encodes infinity."""
+    """A G1 point in Jacobian coordinates (X, Y, Z); Z == 0 encodes infinity.
 
-    __slots__ = ("x", "y", "z")
+    `_nb` lazily caches the 144-byte native encoding (host/native boundary).
+    It stays valid for the object's lifetime: the only coordinate mutation is
+    `to_affine`'s in-place normalisation, which preserves the point VALUE and
+    the cached bytes still decode to that value.
+    """
+
+    __slots__ = ("x", "y", "z", "_nb")
 
     def __init__(self, x: int, y: int, z: int = 1):
         self.x = x
         self.y = y
         self.z = z
+        self._nb = None
 
     # --- constructors -----------------------------------------------------
     @staticmethod

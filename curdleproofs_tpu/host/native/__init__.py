@@ -76,8 +76,13 @@ def available() -> bool:
 # --- codecs -----------------------------------------------------------------
 
 def _pt_to_bytes(p: G1) -> bytes:
-    return (p.x % Q).to_bytes(48, "little") + (p.y % Q).to_bytes(48, "little") \
-        + (p.z % Q).to_bytes(48, "little")
+    nb = p._nb
+    if nb is None:
+        nb = (p.x % Q).to_bytes(48, "little") \
+            + (p.y % Q).to_bytes(48, "little") \
+            + (p.z % Q).to_bytes(48, "little")
+        p._nb = nb
+    return nb
 
 
 def pts_to_bytes(pts: list[G1]) -> bytes:
