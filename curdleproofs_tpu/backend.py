@@ -34,6 +34,11 @@ class Backend:
         """[s_i * P_i] (e.g. grand-product basis rescaling)."""
         raise NotImplementedError
 
+    def msm_many(self, groups: list[tuple[list[G1], list[int]]]) -> list[G1]:
+        """Independent MSMs, e.g. the 4-6 L/R commitments of one folding
+        round; backends may batch them into one pass."""
+        return [self.msm(p, s) for p, s in groups]
+
 
 class HostBackend(Backend):
     """Host path: native C++ (64-bit-limb Montgomery) when built, Python ints
@@ -73,6 +78,11 @@ class HostBackend(Backend):
         if self._native is not None and left:
             return self._native.fold_glv(left, right, gamma)
         return [l.add(r.mul(gamma)) for l, r in zip(left, right)]
+
+    def msm_many(self, groups: list[tuple[list[G1], list[int]]]) -> list[G1]:
+        if self._native is not None and sum(len(p) for p, _ in groups) >= 8:
+            return self._native.msm_many(groups)
+        return [self.msm(p, s) for p, s in groups]
 
 
 class PurePythonBackend(HostBackend):

@@ -55,6 +55,10 @@ def lib() -> ctypes.CDLL | None:
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
                        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                        ctypes.c_char_p, ctypes.c_char_p],
+        "cp_msm_glv_many": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+                            ctypes.c_uint64, ctypes.c_char_p],
         "cp_strobe_init": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64],
         "cp_strobe_meta_ad": [ctypes.c_char_p, ctypes.c_char_p,
                               ctypes.c_uint64, ctypes.c_int32],
@@ -221,6 +225,38 @@ def msm(points: list[G1], scalars: list[int]) -> G1:
     l.cp_msm_glv(pts_to_bytes(points), n, bytes(k1s), bytes(negs1),
                  bytes(k2s), bytes(negs2), g.BETA.to_bytes(48, "little"), out)
     return pts_from_bytes(out.raw, 1)[0]
+
+
+def msm_many(groups: list[tuple[list[G1], list[int]]]) -> list[G1]:
+    """Independent MSMs sharing one native bucket tree (amortizes the fixed
+    per-call costs; the protocol's folding rounds issue 4-6 same-size MSMs)."""
+    l = lib()
+    g = _glv()
+    pts_all: list[G1] = []
+    mids = []
+    k1s, k2s = bytearray(), bytearray()
+    negs1, negs2 = bytearray(), bytearray()
+    try:
+        for mi, (pts, ss) in enumerate(groups):
+            for p, s in zip(pts, ss):
+                k1, k2 = g.decompose(s % R)
+                k1s += abs(k1).to_bytes(16, "little")
+                k2s += abs(k2).to_bytes(16, "little")
+                negs1.append(1 if k1 < 0 else 0)
+                negs2.append(1 if k2 < 0 else 0)
+                pts_all.append(p)
+                mids.append(mi)
+    except OverflowError:
+        return [msm(pts, ss) for pts, ss in groups]
+    n = len(pts_all)
+    if n == 0:
+        return [G1.infinity() for _ in groups]
+    mid_arr = (ctypes.c_uint32 * n)(*mids)
+    out = ctypes.create_string_buffer(_POINT * len(groups))
+    l.cp_msm_glv_many(pts_to_bytes(pts_all), n, bytes(k1s), bytes(negs1),
+                      bytes(k2s), bytes(negs2), g.BETA.to_bytes(48, "little"),
+                      mid_arr, len(groups), out)
+    return pts_from_bytes(out.raw, len(groups))
 
 
 def mul(p: G1, scalar: int) -> G1:

@@ -2242,11 +2242,17 @@ void chain_windows(const u64 *bkx, const u64 *bky,
 }
 
 // full MSM on the IFMA path: GLV split done by the caller, recode + schedule
-// identical to msm_glv_ba, bucket phase vectorized.
-void msm_glv_ifma(const G1 *jac_pts, size_t n,
-                  const uint8_t *k1s, const uint8_t *negs1,
-                  const uint8_t *k2s, const uint8_t *negs2,
-                  const Fq &beta_mont, G1 &out) {
+// identical to msm_glv_ba, bucket phase vectorized. Batched form: `msm_id`
+// (nullable) assigns each input point to one of `n_msms` independent MSMs
+// that share the bucket tree, the inversion tails and the vectorized chains
+// (each MSM gets its own window group in the slot space) — this amortizes the
+// fixed costs across e.g. the 4 MSMs of one IPA folding round
+// (inner_product_argument.rs:158-161).
+void msm_glv_ifma_multi(const G1 *jac_pts, size_t n,
+                        const uint8_t *k1s, const uint8_t *negs1,
+                        const uint8_t *k2s, const uint8_t *negs2,
+                        const Fq &beta_mont, const uint32_t *msm_id,
+                        size_t n_msms, G1 *outs) {
     bool prof = std::getenv("CP_PROF") != nullptr;
     auto tp0 = std::chrono::steady_clock::now();
     std::vector<G1> norm(jac_pts, jac_pts + n);
@@ -2273,10 +2279,11 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     convert_to52_batch(ax.data(), npts, px52.data());
     convert_to52_batch(ay.data(), npts, py52.data());
 
-    int c = pick_window_glv(npts, /*vector_chain=*/true);
+    int c = pick_window_glv((npts + n_msms - 1) / n_msms,
+                            /*vector_chain=*/true);
     int windows = (129 + c - 1) / c;
     size_t nb = (size_t)1 << (c - 1);
-    size_t nslots = (size_t)windows * nb;
+    size_t nslots = n_msms * (size_t)windows * nb;
 
     // signed-digit recode -> counting-sorted entries (same as msm_glv_ba,
     // but sign baked into the entry's top bit only — negs were consumed
@@ -2289,6 +2296,8 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     const unsigned mask = (1u << c) - 1u;
     for (size_t i = 0; i < npts; ++i) {
         const uint8_t *s = (i < n) ? k1s + 16 * i : k2s + 16 * (i - n);
+        uint32_t mid = msm_id ? msm_id[i < n ? i : i - n] : 0;
+        uint32_t wbase = mid * (uint32_t)windows;
         unsigned carry = 0;
         for (int w = 0; w < windows; ++w) {
             int bit_lo = w * c;
@@ -2304,7 +2313,7 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
             if (v > (unsigned)half) { d = (int)v - (1 << c); carry = 1; }
             else { d = (int)v; carry = 0; }
             if (d != 0) {
-                uint32_t slot = (uint32_t)w * (uint32_t)nb +
+                uint32_t slot = (wbase + (uint32_t)w) * (uint32_t)nb +
                                 (uint32_t)(d < 0 ? -d : d) - 1u;
                 uint32_t pi = (uint32_t)i | (d < 0 ? 0x80000000u : 0u);
                 raw.push_back({slot, pi});
@@ -2328,22 +2337,24 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     auto tp2 = std::chrono::steady_clock::now();
 
     // running/weighted bucket chains, 8 windows per lane-group, instances
-    // interleaved; then extras, then the scalar Horner ladder over windows
-    int wg_total = (windows + 7) / 8;
+    // interleaved; then extras, then the scalar Horner ladder over windows.
+    // All n_msms * windows window groups chain together (fuller lanes).
+    int windows_total = (int)n_msms * windows;
+    int wg_total = (windows_total + 7) / 8;
     std::vector<Jac8> wsum_v(wg_total);
     for (int wg0 = 0; wg0 < wg_total;) {
         int rem = wg_total - wg0;
         if (rem >= 3) {
-            chain_windows<3>(bkx.data(), bky.data(), binf, nb, windows, wg0,
-                             wsum_v.data() + wg0);
+            chain_windows<3>(bkx.data(), bky.data(), binf, nb, windows_total,
+                             wg0, wsum_v.data() + wg0);
             wg0 += 3;
         } else if (rem == 2) {
-            chain_windows<2>(bkx.data(), bky.data(), binf, nb, windows, wg0,
-                             wsum_v.data() + wg0);
+            chain_windows<2>(bkx.data(), bky.data(), binf, nb, windows_total,
+                             wg0, wsum_v.data() + wg0);
             wg0 += 2;
         } else {
-            chain_windows<1>(bkx.data(), bky.data(), binf, nb, windows, wg0,
-                             wsum_v.data() + wg0);
+            chain_windows<1>(bkx.data(), bky.data(), binf, nb, windows_total,
+                             wg0, wsum_v.data() + wg0);
             wg0 += 1;
         }
     }
@@ -2367,8 +2378,8 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     convert_from52_batch(sxp.data(), nw8, sxf.data());
     convert_from52_batch(syp.data(), nw8, syf.data());
     convert_from52_batch(szp.data(), nw8, szf.data());
-    std::vector<G1> wsums(windows);
-    for (int w = 0; w < windows; ++w) {
+    std::vector<G1> wsums(windows_total);
+    for (int w = 0; w < windows_total; ++w) {
         wsums[w].x = sxf[w];
         wsums[w].y = syf[w];
         wsums[w].z = szf[w];
@@ -2376,7 +2387,7 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
     // extras: a head beyond the first in bucket (w, b) contributes (b+1)*E
     G1 t;
     for (const auto &ex : extras) {
-        int w = (int)(ex.first / nb);
+        int w = (int)(ex.first / nb);  // global window index (incl. msm group)
         u64 weight = (u64)(ex.first % nb) + 1;
         uint8_t sc[32] = {0};
         std::memcpy(sc, &weight, 8);
@@ -2385,22 +2396,34 @@ void msm_glv_ifma(const G1 *jac_pts, size_t n,
         g1_add(wsums[w], scaled, t);
         wsums[w] = t;
     }
-    // Horner ladder
-    g1_set_inf(out);
-    for (int w = windows - 1; w >= 0; --w) {
-        for (int k = 0; k < c; ++k) g1_double(out, out);
-        if (!g1_is_inf(wsums[w])) { g1_add(out, wsums[w], t); out = t; }
+    // per-MSM Horner ladders over each window group
+    for (size_t mi = 0; mi < n_msms; ++mi) {
+        G1 &out = outs[mi];
+        g1_set_inf(out);
+        for (int w = windows - 1; w >= 0; --w) {
+            for (int k = 0; k < c; ++k) g1_double(out, out);
+            const G1 &s_w = wsums[mi * windows + w];
+            if (!g1_is_inf(s_w)) { g1_add(out, s_w, t); out = t; }
+        }
     }
     if (prof) {
         auto tp3 = std::chrono::steady_clock::now();
         fprintf(stderr,
-                "[glv-ifma] n=%zu c=%d W=%d entries=%zu setup=%.1fms "
+                "[glv-ifma] n=%zu m=%zu c=%d W=%d entries=%zu setup=%.1fms "
                 "buckets=%.1fms chain=%.1fms\n",
-                n, c, windows, raw.size(),
+                n, n_msms, c, windows, raw.size(),
                 std::chrono::duration<double, std::milli>(tp1 - tp0).count(),
                 std::chrono::duration<double, std::milli>(tp2 - tp1).count(),
                 std::chrono::duration<double, std::milli>(tp3 - tp2).count());
     }
+}
+
+inline void msm_glv_ifma(const G1 *jac_pts, size_t n,
+                         const uint8_t *k1s, const uint8_t *negs1,
+                         const uint8_t *k2s, const uint8_t *negs2,
+                         const Fq &beta_mont, G1 &out) {
+    msm_glv_ifma_multi(jac_pts, n, k1s, negs1, k2s, negs2, beta_mont,
+                       nullptr, 1, &out);
 }
 
 #endif  // CP_HAVE_IFMA
@@ -2427,6 +2450,47 @@ void cp_msm_glv(const uint8_t *points, uint64_t n,
     msm_glv_ba(pts.data(), n, k1s, negs1, k2s, negs2, beta, r);
 #endif
     store_g1(r, out);
+}
+
+// Batched MSMs sharing one bucket tree; `msm_id` assigns each point to its
+// MSM, `outs` receives n_msms results. Requires IFMA (caller checks
+// cp_ifma_available); falls back to per-MSM msm_glv_ba otherwise.
+void cp_msm_glv_many(const uint8_t *points, uint64_t n,
+                     const uint8_t *k1s, const uint8_t *negs1,
+                     const uint8_t *k2s, const uint8_t *negs2,
+                     const uint8_t *beta48, const uint32_t *msm_id,
+                     uint64_t n_msms, uint8_t *outs) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
+    Fq beta;
+    load_fq(beta48, beta);
+    std::vector<G1> res(n_msms);
+#if CP_HAVE_IFMA
+    if (!std::getenv("CP_NO_IFMA")) {
+        msm_glv_ifma_multi(pts.data(), n, k1s, negs1, k2s, negs2, beta,
+                           msm_id, n_msms, res.data());
+        for (uint64_t m = 0; m < n_msms; ++m) store_g1(res[m], outs + 144 * m);
+        return;
+    }
+#endif
+    // scalar fallback: run each MSM separately
+    for (uint64_t m = 0; m < n_msms; ++m) {
+        std::vector<G1> sub;
+        std::vector<uint8_t> sk1, sk2, sn1, sn2;
+        for (uint64_t i = 0; i < n; ++i) {
+            if (msm_id[i] != m) continue;
+            sub.push_back(pts[i]);
+            sk1.insert(sk1.end(), k1s + 16 * i, k1s + 16 * (i + 1));
+            sk2.insert(sk2.end(), k2s + 16 * i, k2s + 16 * (i + 1));
+            sn1.push_back(negs1[i]);
+            sn2.push_back(negs2[i]);
+        }
+        G1 r2;
+        if (sub.empty()) g1_set_inf(r2);
+        else msm_glv_ba(sub.data(), sub.size(), sk1.data(), sn1.data(),
+                        sk2.data(), sn2.data(), beta, r2);
+        store_g1(r2, outs + 144 * m);
+    }
 }
 
 }  // extern "C"

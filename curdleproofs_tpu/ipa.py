@@ -110,10 +110,11 @@ class InnerProductProof:
             G_L, G_R = vec_G[:half], vec_G[half:]
             Gp_L, Gp_R = vec_G_prime[:half], vec_G_prime[half:]
 
-            L_C = msm(G_R, c_L).add(H.mul(inner_product(c_L, d_R)))
-            L_D = msm(Gp_L, d_R)
-            R_C = msm(G_L, c_R).add(H.mul(inner_product(c_R, d_L)))
-            R_D = msm(Gp_R, d_L)
+            # the round's four L/R commitments batch into ONE native MSM pass
+            m_LC, L_D, m_RC, R_D = backend.msm_many(
+                [(G_R, c_L), (Gp_L, d_R), (G_L, c_R), (Gp_R, d_L)])
+            L_C = m_LC.add(H.mul(inner_product(c_L, d_R)))
+            R_C = m_RC.add(H.mul(inner_product(c_R, d_L)))
 
             vec_L_C.append(L_C)
             vec_L_D.append(L_D)

@@ -56,10 +56,10 @@ class SameMultiscalarProof:
         vec_T = list(vec_T)
         vec_U = list(vec_U)
 
+        backend = get_backend()
         vec_r = generate_blinders(rng, n)
-        B_a = msm(vec_G, vec_r)
-        B_t = msm(vec_T, vec_r)
-        B_u = msm(vec_U, vec_r)
+        B_a, B_t, B_u = backend.msm_many(
+            [(vec_G, vec_r), (vec_T, vec_r), (vec_U, vec_r)])
 
         transcript.append_points(b"same_msm_step1", [A, Z_t, Z_u])
         transcript.append_point_vec(b"same_msm_step1", vec_T)
@@ -79,12 +79,10 @@ class SameMultiscalarProof:
             U_L, U_R = vec_U[:half], vec_U[half:]
             G_L, G_R = vec_G[:half], vec_G[half:]
 
-            L_A = msm(G_R, x_L)
-            L_T = msm(T_R, x_L)
-            L_U = msm(U_R, x_L)
-            R_A = msm(G_L, x_R)
-            R_T = msm(T_L, x_R)
-            R_U = msm(U_L, x_R)
+            # the round's six L/R commitments batch into ONE native MSM pass
+            L_A, L_T, L_U, R_A, R_T, R_U = backend.msm_many(
+                [(G_R, x_L), (T_R, x_L), (U_R, x_L),
+                 (G_L, x_R), (T_L, x_R), (U_L, x_R)])
 
             vec_L_A.append(L_A)
             vec_L_T.append(L_T)

@@ -1,13 +1,17 @@
-"""Warm the compile cache and benchmark the device MSM at sweep sizes.
+"""Warm the compile cache and benchmark the device MSM at sweep sizes
+(BASELINE.json config 3; fixed-shape pallas bucket fold, ops/msm_device.py).
 
 Writes one JSON line per size to bench_msm_results.jsonl (append).
 Run: nohup python scripts/warm_and_bench_msm.py 12 14 16 &
 """
 import json
+import os
 import pathlib
 import sys
 import time
 
+os.environ.setdefault("CURDLEPROOFS_TPU_REAL", "1")
+os.environ.setdefault("CURDLEPROOFS_USE_PALLAS", "1")
 sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
 import jax
@@ -20,7 +24,7 @@ import random
 from curdleproofs_tpu.backend import HostBackend
 from curdleproofs_tpu.constants import R
 from curdleproofs_tpu.host.rng import StdRng
-from curdleproofs_tpu.ops.msm_pippenger import msm_pippenger, pick_window
+from curdleproofs_tpu.ops.msm_device import msm_device, pick_window_device
 
 OUT = pathlib.Path(__file__).parents[1] / "bench_msm_results.jsonl"
 
@@ -34,18 +38,18 @@ for logn in [int(a) for a in sys.argv[1:]] or [12]:
     pts = [base[i % 128] for i in range(n)]
     ss = [rnd.randrange(R) for _ in range(n)]
     t0 = time.time()
-    r1 = msm_pippenger(pts, ss)
+    r1 = msm_device(pts, ss)
     t_first = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
-        r2 = msm_pippenger(pts, ss)
+        r2 = msm_device(pts, ss)
         times.append(time.time() - t0)
     t0 = time.time()
     r3 = hb.msm(pts, ss)
     t_host = time.time() - t0
     rec = {
-        "log_n": logn, "c": pick_window(n),
+        "log_n": logn, "c": pick_window_device(n),
         "tpu_first_s": round(t_first, 1),
         "tpu_warm_ms": round(min(times) * 1e3, 1),
         "tpu_muls_per_s": round(n / min(times), 1),
