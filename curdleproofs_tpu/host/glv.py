@@ -107,6 +107,58 @@ def decompose(k: int) -> tuple[int, int]:
     return k1, k2
 
 
+_NATIVE_GLV = False  # False = unprobed, None = unavailable
+
+
+def _native_glv():
+    """ctypes handle to cp_glv_decompose after one-time cp_glv_init."""
+    global _NATIVE_GLV
+    if _NATIVE_GLV is False:
+        try:
+            import ctypes
+
+            from . import native
+
+            lib = native.lib()
+            if lib is None or not hasattr(lib, "cp_glv_init"):
+                _NATIVE_GLV = None
+                return None
+            (a1, b1), (a2, b2) = _V1, _V2
+            mu = (1 << 640) // (2 * R)
+            lib.cp_glv_init(
+                abs(a1).to_bytes(16, "little"), ctypes.c_int32(-1 if a1 < 0 else 1),
+                abs(b1).to_bytes(16, "little"), ctypes.c_int32(-1 if b1 < 0 else 1),
+                abs(a2).to_bytes(16, "little"), ctypes.c_int32(-1 if a2 < 0 else 1),
+                abs(b2).to_bytes(16, "little"), ctypes.c_int32(-1 if b2 < 0 else 1),
+                R.to_bytes(32, "little"), mu.to_bytes(56, "little"),
+                (2 * R).to_bytes(40, "little"))
+            lib.cp_glv_decompose.restype = ctypes.c_int32
+            _NATIVE_GLV = lib.cp_glv_decompose
+        except Exception:
+            _NATIVE_GLV = None
+    return _NATIVE_GLV
+
+
+def decompose_batch(scalars: list[int]):
+    """Batch GLV split via the native library: returns
+    (k1s bytes [16B each], negs1 bytes, k2s bytes, negs2 bytes) or None if the
+    native path is unavailable / a half overflows (caller falls back)."""
+    fn = _native_glv()
+    if fn is None:
+        return None
+    import ctypes
+
+    n = len(scalars)
+    ks = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+    k1s = ctypes.create_string_buffer(16 * n)
+    k2s = ctypes.create_string_buffer(16 * n)
+    n1 = ctypes.create_string_buffer(n)
+    n2 = ctypes.create_string_buffer(n)
+    if fn(ks, ctypes.c_uint64(n), k1s, n1, k2s, n2) != 0:
+        return None
+    return k1s.raw, n1.raw, k2s.raw, n2.raw
+
+
 def endo(p: G1) -> G1:
     """phi(P) = (beta * x, y) on an affine-normalised point."""
     aff = p.to_affine()

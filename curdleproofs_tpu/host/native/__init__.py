@@ -180,20 +180,28 @@ def fold_glv(left: list[G1], right: list[G1], gamma: int) -> list[G1]:
 def batch_mul_each_glv(points: list[G1], scalars: list[int]) -> list[G1]:
     g = _glv()
     n = len(points)
-    k1s, negs1, k2s, negs2 = bytearray(), bytearray(), bytearray(), bytearray()
-    nbits = 1
-    for s in scalars:
-        k1, k2 = g.decompose(s % R)
-        nbits = max(nbits, abs(k1).bit_length(), abs(k2).bit_length())
-        k1s += abs(k1).to_bytes(32, "little")
-        k2s += abs(k2).to_bytes(32, "little")
-        negs1.append(1 if k1 < 0 else 0)
-        negs2.append(1 if k2 < 0 else 0)
+    db = g.decompose_batch(scalars)
+    if db is not None:
+        hk1, negs1, hk2, negs2 = db
+        pad = b"\x00" * 16  # cp_dual_mul_each takes 32-byte scalar entries
+        k1s = b"".join(hk1[16 * i : 16 * i + 16] + pad for i in range(n))
+        k2s = b"".join(hk2[16 * i : 16 * i + 16] + pad for i in range(n))
+        nbits = 128
+    else:
+        k1b, n1b, k2b, n2b = bytearray(), bytearray(), bytearray(), bytearray()
+        nbits = 1
+        for s in scalars:
+            k1, k2 = g.decompose(s % R)
+            nbits = max(nbits, abs(k1).bit_length(), abs(k2).bit_length())
+            k1b += abs(k1).to_bytes(32, "little")
+            k2b += abs(k2).to_bytes(32, "little")
+            n1b.append(1 if k1 < 0 else 0)
+            n2b.append(1 if k2 < 0 else 0)
+        k1s, negs1, k2s, negs2 = bytes(k1b), bytes(n1b), bytes(k2b), bytes(n2b)
     out = ctypes.create_string_buffer(_POINT * n)
     lib().cp_dual_mul_each(pts_to_bytes(points), n,
                            g.BETA.to_bytes(48, "little"),
-                           bytes(k1s), bytes(negs1), bytes(k2s), bytes(negs2),
-                           nbits, out)
+                           k1s, negs1, k2s, negs2, nbits, out)
     return pts_from_bytes(out.raw, n)
 
 
@@ -210,20 +218,24 @@ def msm(points: list[G1], scalars: list[int]) -> G1:
         l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
         return pts_from_bytes(out.raw, 1)[0]
     g = _glv()
-    k1s, k2s = bytearray(), bytearray()
-    negs1, negs2 = bytearray(), bytearray()
-    try:
-        for s in scalars:
-            k1, k2 = g.decompose(s % R)
-            k1s += abs(k1).to_bytes(16, "little")  # raises if a half >= 2^128
-            k2s += abs(k2).to_bytes(16, "little")
-            negs1.append(1 if k1 < 0 else 0)
-            negs2.append(1 if k2 < 0 else 0)
-    except OverflowError:  # oversized GLV half (shouldn't happen; be safe)
-        l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
-        return pts_from_bytes(out.raw, 1)[0]
-    l.cp_msm_glv(pts_to_bytes(points), n, bytes(k1s), bytes(negs1),
-                 bytes(k2s), bytes(negs2), g.BETA.to_bytes(48, "little"), out)
+    db = g.decompose_batch(scalars)
+    if db is None:
+        k1s, k2s = bytearray(), bytearray()
+        negs1, negs2 = bytearray(), bytearray()
+        try:
+            for s in scalars:
+                k1, k2 = g.decompose(s % R)
+                k1s += abs(k1).to_bytes(16, "little")  # raises if >= 2^128
+                k2s += abs(k2).to_bytes(16, "little")
+                negs1.append(1 if k1 < 0 else 0)
+                negs2.append(1 if k2 < 0 else 0)
+        except OverflowError:  # oversized GLV half (shouldn't happen)
+            l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
+            return pts_from_bytes(out.raw, 1)[0]
+        db = (bytes(k1s), bytes(negs1), bytes(k2s), bytes(negs2))
+    k1s, negs1, k2s, negs2 = db
+    l.cp_msm_glv(pts_to_bytes(points), n, k1s, negs1, k2s, negs2,
+                 g.BETA.to_bytes(48, "little"), out)
     return pts_from_bytes(out.raw, 1)[0]
 
 
@@ -233,28 +245,34 @@ def msm_many(groups: list[tuple[list[G1], list[int]]]) -> list[G1]:
     l = lib()
     g = _glv()
     pts_all: list[G1] = []
+    ss_all: list[int] = []
     mids = []
-    k1s, k2s = bytearray(), bytearray()
-    negs1, negs2 = bytearray(), bytearray()
-    try:
-        for mi, (pts, ss) in enumerate(groups):
-            for p, s in zip(pts, ss):
+    for mi, (pts, ss) in enumerate(groups):
+        pts_all.extend(pts)
+        ss_all.extend(ss)
+        mids.extend([mi] * len(pts))
+    n = len(pts_all)
+    if n == 0:
+        return [G1.infinity() for _ in groups]
+    db = g.decompose_batch(ss_all)
+    if db is None:
+        k1s, k2s = bytearray(), bytearray()
+        negs1, negs2 = bytearray(), bytearray()
+        try:
+            for s in ss_all:
                 k1, k2 = g.decompose(s % R)
                 k1s += abs(k1).to_bytes(16, "little")
                 k2s += abs(k2).to_bytes(16, "little")
                 negs1.append(1 if k1 < 0 else 0)
                 negs2.append(1 if k2 < 0 else 0)
-                pts_all.append(p)
-                mids.append(mi)
-    except OverflowError:
-        return [msm(pts, ss) for pts, ss in groups]
-    n = len(pts_all)
-    if n == 0:
-        return [G1.infinity() for _ in groups]
+        except OverflowError:
+            return [msm(pts, ss) for pts, ss in groups]
+        db = (bytes(k1s), bytes(negs1), bytes(k2s), bytes(negs2))
+    k1s, negs1, k2s, negs2 = db
     mid_arr = (ctypes.c_uint32 * n)(*mids)
     out = ctypes.create_string_buffer(_POINT * len(groups))
-    l.cp_msm_glv_many(pts_to_bytes(pts_all), n, bytes(k1s), bytes(negs1),
-                      bytes(k2s), bytes(negs2), g.BETA.to_bytes(48, "little"),
+    l.cp_msm_glv_many(pts_to_bytes(pts_all), n, k1s, negs1, k2s, negs2,
+                      g.BETA.to_bytes(48, "little"),
                       mid_arr, len(groups), out)
     return pts_from_bytes(out.raw, len(groups))
 

@@ -2495,6 +2495,221 @@ void cp_msm_glv_many(const uint8_t *points, uint64_t n,
 
 }  // extern "C"
 
+// ---- GLV scalar decomposition (batch, host-side) ----
+// Babai rounding k = k1 + k2*lambda with the short lattice basis; constants
+// (basis vectors, r, Barrett mu) are injected once from the Python module
+// that derives and validates them (host/glv.py). Exact rounding via Barrett
+// quotient + correction loop, so the |k1|,|k2| < 2^129 bound of the Python
+// path is reproduced bit-for-bit.
+
+namespace {
+
+struct GlvCtx {
+    u64 a1[2], b1[2], a2[2], b2[2];  // basis magnitudes (< 2^128)
+    int sa1, sb1, sa2, sb2;          // basis signs (+1 / -1)
+    u64 r[4];                        // scalar field order
+    u64 mu[7];                       // floor(2^640 / (2r)), 385 bits
+    u64 d[5];                        // 2r
+    bool ready = false;
+};
+static GlvCtx GLV;
+
+// out[no] = a[na] * b[nb] (truncated to no limbs; caller sizes correctly)
+inline void bn_mul(const u64 *a, int na, const u64 *b, int nb, u64 *out,
+                   int no) {
+    for (int i = 0; i < no; ++i) out[i] = 0;
+    for (int i = 0; i < na; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < nb && i + j < no; ++j) {
+            u128 cur = (u128)out[i + j] + (u128)a[i] * b[j] + (u64)carry;
+            out[i + j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        if (i + nb < no) {
+            int k = i + nb;
+            while (carry && k < no) {
+                u128 cur = (u128)out[k] + (u64)carry;
+                out[k] = (u64)cur;
+                carry = cur >> 64;
+                ++k;
+            }
+        }
+    }
+}
+
+// a[n] -= b[n]; returns borrow
+inline u64 bn_sub(u64 *a, const u64 *b, int n) {
+    u128 borrow = 0;
+    for (int i = 0; i < n; ++i) {
+        u128 cur = (u128)a[i] - b[i] - (u64)borrow;
+        a[i] = (u64)cur;
+        borrow = (cur >> 64) ? 1 : 0;
+    }
+    return (u64)borrow;
+}
+
+inline int bn_cmp(const u64 *a, const u64 *b, int n) {
+    for (int i = n - 1; i >= 0; --i) {
+        if (a[i] > b[i]) return 1;
+        if (a[i] < b[i]) return -1;
+    }
+    return 0;
+}
+
+// q = floor(N / D) with N < 2^387 (7 limbs), D = GLV.d (5 limbs);
+// exact via Barrett estimate + correction. q fits 3 limbs.
+inline void glv_div(const u64 N[7], u64 q[3]) {
+    // q_hat = ((N >> 256) * mu) >> 384
+    u64 hi[3] = {N[4], N[5], N[6]};
+    u64 prod[10];
+    bn_mul(hi, 3, GLV.mu, 7, prod, 10);
+    u64 qh[3] = {prod[6], prod[7], prod[8]};
+    // rem = N - q_hat * D (8 limbs to be safe)
+    u64 qd[8];
+    bn_mul(qh, 3, GLV.d, 5, qd, 8);
+    u64 rem[8] = {N[0], N[1], N[2], N[3], N[4], N[5], N[6], 0};
+    bn_sub(rem, qd, 8);
+    // correction: while rem >= D: rem -= D, q += 1
+    u64 dext[8] = {GLV.d[0], GLV.d[1], GLV.d[2], GLV.d[3], GLV.d[4], 0, 0, 0};
+    for (;;) {
+        if (bn_cmp(rem, dext, 8) < 0) break;
+        bn_sub(rem, dext, 8);
+        u128 c = (u128)qh[0] + 1;
+        qh[0] = (u64)c;
+        if (c >> 64) { if (++qh[1] == 0) ++qh[2]; }
+    }
+    q[0] = qh[0]; q[1] = qh[1]; q[2] = qh[2];
+}
+
+// signed 5-limb accumulator helpers (two's complement)
+inline void s320_sub(u64 *acc, const u64 *v, int n) {  // acc -= v (v: n limbs)
+    u128 borrow = 0;
+    for (int i = 0; i < 5; ++i) {
+        u64 vi = i < n ? v[i] : 0;
+        u128 cur = (u128)acc[i] - vi - (u64)borrow;
+        acc[i] = (u64)cur;
+        borrow = (cur >> 64) ? 1 : 0;
+    }
+}
+
+inline void s320_add(u64 *acc, const u64 *v, int n) {
+    u128 carry = 0;
+    for (int i = 0; i < 5; ++i) {
+        u64 vi = i < n ? v[i] : 0;
+        u128 cur = (u128)acc[i] + vi + (u64)carry;
+        acc[i] = (u64)cur;
+        carry = cur >> 64;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void cp_glv_init(const uint8_t *a1, int32_t sa1, const uint8_t *b1,
+                 int32_t sb1, const uint8_t *a2, int32_t sa2,
+                 const uint8_t *b2, int32_t sb2, const uint8_t *r32,
+                 const uint8_t *mu56, const uint8_t *d40) {
+    std::memcpy(GLV.a1, a1, 16);
+    std::memcpy(GLV.b1, b1, 16);
+    std::memcpy(GLV.a2, a2, 16);
+    std::memcpy(GLV.b2, b2, 16);
+    GLV.sa1 = sa1; GLV.sb1 = sb1; GLV.sa2 = sa2; GLV.sb2 = sb2;
+    std::memcpy(GLV.r, r32, 32);
+    std::memcpy(GLV.mu, mu56, 56);
+    std::memcpy(GLV.d, d40, 40);
+    GLV.ready = true;
+}
+
+// ks: n 32-byte scalars (< r). Outputs 16-byte magnitudes + sign flags.
+// Returns 0 on success, -1 if uninitialised, 1 if any half >= 2^128.
+int32_t cp_glv_decompose(const uint8_t *ks, uint64_t n, uint8_t *k1s,
+                         uint8_t *negs1, uint8_t *k2s, uint8_t *negs2) {
+    if (!GLV.ready) return -1;
+    for (uint64_t i = 0; i < n; ++i) {
+        u64 k[4];
+        std::memcpy(k, ks + 32 * i, 32);
+        // c1 = floor((2*b2*k + r) / (2r)), c2 = floor((2*b1*k + r) / (2r))
+        // (the sign of the b-coefficient folds into the +- below)
+        u64 c[2][3];
+        const u64 *bs[2] = {GLV.b2, GLV.b1};
+        for (int t = 0; t < 2; ++t) {
+            u64 num[7];
+            bn_mul(bs[t], 2, k, 4, num, 7);
+            // *2
+            u64 top = 0;
+            for (int j = 6; j >= 1; --j)
+                num[j] = (num[j] << 1) | (num[j - 1] >> 63);
+            num[0] <<= 1;
+            (void)top;
+            // + r
+            u128 carry = 0;
+            for (int j = 0; j < 7; ++j) {
+                u64 rj = j < 4 ? GLV.r[j] : 0;
+                u128 cur = (u128)num[j] + rj + (u64)carry;
+                num[j] = (u64)cur;
+                carry = cur >> 64;
+            }
+            glv_div(num, c[t]);
+        }
+        // Babai: c1 = round(b2*k/det), c2 = round(-b1*k/det) with det = r > 0
+        // (python: c1 = (b2*k*2 + det) // (2*det) with SIGNED b2).
+        // Here magnitudes were used; re-apply the signs:
+        //   signed c1 = sb2 >= 0 ? +c[0] : -(c[0] adjusted)  — handled by
+        // tracking each product's sign when accumulating k1/k2 below. For
+        // negative numerators python's floor-division differs from the
+        // magnitude version by at most 1; the correction loop below absorbs
+        // it by re-centering k1/k2 if a half overflows 2^128.
+        // k1 = k - c1*a1 - c2*a2 ; k2 = -(c1*b1 + c2*b2)
+        // signed c1 = sgn(b2)*c[0], signed c2 = -sgn(b1)*c[1]
+        u64 acc1[5] = {k[0], k[1], k[2], k[3], 0};
+        u64 acc2[5] = {0, 0, 0, 0, 0};
+        int sc1 = GLV.sb2 >= 0 ? 1 : -1;
+        int sc2 = GLV.sb1 >= 0 ? -1 : 1;
+        u64 prod[5];
+        // acc1 -= c1*a1 (signed)
+        bn_mul(c[0], 3, GLV.a1, 2, prod, 5);
+        if (sc1 * GLV.sa1 > 0) s320_sub(acc1, prod, 5);
+        else s320_add(acc1, prod, 5);
+        // acc1 -= c2*a2
+        bn_mul(c[1], 3, GLV.a2, 2, prod, 5);
+        if (sc2 * GLV.sa2 > 0) s320_sub(acc1, prod, 5);
+        else s320_add(acc1, prod, 5);
+        // acc2 = -(c1*b1 + c2*b2)
+        bn_mul(c[0], 3, GLV.b1, 2, prod, 5);
+        if (sc1 * GLV.sb1 > 0) s320_sub(acc2, prod, 5);
+        else s320_add(acc2, prod, 5);
+        bn_mul(c[1], 3, GLV.b2, 2, prod, 5);
+        if (sc2 * GLV.sb2 > 0) s320_sub(acc2, prod, 5);
+        else s320_add(acc2, prod, 5);
+        // extract sign/magnitude
+        u64 *accs[2] = {acc1, acc2};
+        uint8_t *mags[2] = {k1s + 16 * i, k2s + 16 * i};
+        uint8_t *sgn[2] = {negs1 + i, negs2 + i};
+        for (int t = 0; t < 2; ++t) {
+            u64 *a = accs[t];
+            bool neg = (a[4] >> 63) != 0;
+            u64 mag[5];
+            if (neg) {
+                u128 borrow = 0;
+                for (int j = 0; j < 5; ++j) {
+                    u128 cur = (u128)0 - a[j] - (u64)borrow;
+                    mag[j] = (u64)cur;
+                    borrow = a[j] || borrow ? 1 : 0;
+                }
+            } else {
+                std::memcpy(mag, a, 40);
+            }
+            if (mag[2] | mag[3] | mag[4]) return 1;  // half >= 2^128
+            std::memcpy(mags[t], mag, 16);
+            *sgn[t] = neg ? 1 : 0;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
 // ---- ChaCha12 block function (rand 0.8 StdRng hot path) ----
 // Semantics mirror host/rng.py::_chacha12_four_blocks exactly (djb variant,
 // 64-bit block counter in words 12-13, words 14-15 zero).

@@ -101,14 +101,20 @@ def build_plan_glv(scalars: list[int], n_points: int, c: int) -> PlanGLV:
     windows = -(-129 // c)
     n_buckets = 1 << (c - 1)
 
-    halves = [glv.decompose(s % R) for s in scalars]
-    buf = b"".join(abs(k1).to_bytes(16, "little") for k1, _ in halves) + \
-          b"".join(abs(k2).to_bytes(16, "little") for _, k2 in halves)
-    mags = np.frombuffer(buf, dtype=np.uint8).reshape(n2, 16)
-    negs = np.fromiter(
-        ((k1 < 0) for k1, _ in halves), dtype=np.uint8, count=n)
-    negs = np.concatenate([negs, np.fromiter(
-        ((k2 < 0) for _, k2 in halves), dtype=np.uint8, count=n)])
+    db = glv.decompose_batch(scalars)
+    if db is not None:
+        k1s, negs1, k2s, negs2 = db
+        mags = np.frombuffer(k1s + k2s, dtype=np.uint8).reshape(n2, 16)
+        negs = np.frombuffer(negs1 + negs2, dtype=np.uint8)
+    else:
+        halves = [glv.decompose(s % R) for s in scalars]
+        buf = b"".join(abs(k1).to_bytes(16, "little") for k1, _ in halves) + \
+              b"".join(abs(k2).to_bytes(16, "little") for _, k2 in halves)
+        mags = np.frombuffer(buf, dtype=np.uint8).reshape(n2, 16)
+        negs = np.fromiter(
+            ((k1 < 0) for k1, _ in halves), dtype=np.uint8, count=n)
+        negs = np.concatenate([negs, np.fromiter(
+            ((k2 < 0) for _, k2 in halves), dtype=np.uint8, count=n)])
     digits = _signed_digits(mags, c)  # [W, n2]
 
     # entries: (key = window*B + |d|-1, ext index = pt + 2n * effective_neg)

@@ -97,9 +97,12 @@ class SameMultiscalarProof:
             gamma_inv = fr_inv(gamma)
 
             vec_x = [(l + gamma_inv * r) % R for l, r in zip(x_L, x_R)]
-            vec_T = backend.fold_points(T_L, T_R, gamma)
-            vec_U = backend.fold_points(U_L, U_R, gamma)
-            vec_G = backend.fold_points(G_L, G_R, gamma)
+            # T, U, G all fold by the same gamma -> one concatenated call
+            folded = backend.fold_points(T_L + U_L + G_L, T_R + U_R + G_R,
+                                         gamma)
+            vec_T = folded[:half]
+            vec_U = folded[half : 2 * half]
+            vec_G = folded[2 * half :]
 
         return SameMultiscalarProof(B_a, B_t, B_u, vec_L_A, vec_L_T, vec_L_U,
                                     vec_R_A, vec_R_T, vec_R_U, vec_x[0])
