@@ -18,18 +18,20 @@ __all__ = ["MsmAccumulator"]
 
 class MsmAccumulator:
     def __init__(self):
-        self._A_c = G1.infinity()
         # dedup on affine coordinates (arkworks dedups on G1Affine hash)
         self._base_scalar: dict[tuple[int, int] | None, int] = {}
         self._base_point: dict[tuple[int, int] | None, G1] = {}
 
     def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
                          rng: StdRng) -> None:
-        """Accumulate the check `C == <vec_x, vec_V>` under a fresh random factor."""
+        """Accumulate the check `C == <vec_x, vec_V>` under a fresh random
+        factor. C itself joins the deduped base set with weight -factor, so
+        no eager scalar-mul happens here: the whole batch of checks is the
+        single MSM `sum_i rf_i * (<x_i, V_i> - C_i) == 0`."""
         random_factor = rng.rand_fr()
-        self._A_c = self._A_c.add(C.mul(random_factor))
-        keys = G1.batch_to_affine(vec_V)
-        for key, base, scalar in zip(keys, vec_V, vec_x):
+        keys = G1.batch_to_affine(vec_V + [C])
+        for key, base, scalar in zip(keys, vec_V + [C],
+                                     vec_x + [-1 % R]):
             cur = self._base_scalar.get(key)
             if cur is None:
                 self._base_scalar[key] = random_factor * scalar % R
@@ -41,5 +43,5 @@ class MsmAccumulator:
         """Run the single deduped MSM; raise VerificationError on mismatch."""
         bases = list(self._base_point.values())
         scalars = [self._base_scalar[k] for k in self._base_point]
-        if not (msm(bases, scalars) - self._A_c).is_infinity():
+        if not msm(bases, scalars).is_infinity():
             raise VerificationError("accumulated MSM check failed")

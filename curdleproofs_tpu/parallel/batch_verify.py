@@ -48,7 +48,7 @@ def _final_check(acc: MsmAccumulator, mesh: Mesh | None) -> bool:
             return False
     bases = list(acc._base_point.values())
     scalars = [acc._base_scalar[k] for k in acc._base_point]
-    return (sharded_msm(bases, scalars, mesh) - acc._A_c).is_infinity()
+    return sharded_msm(bases, scalars, mesh).is_infinity()
 
 
 def batch_verify(
