@@ -82,7 +82,34 @@ def bench_protocol(ell: int, repeats: int = 3):
         proof.verify(crs, vec_R, vec_S, vec_T, vec_U, M, rng)
         t_vf.append(time.perf_counter() - t0)
 
-    return min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3
+    # --- batched verification (BASELINE config 5, single-host figure):
+    # distinct proofs over the same inputs; CRS + (R, S) bases dedup into
+    # ONE accumulated MSM for the whole batch
+    from curdleproofs_tpu.parallel.batch_verify import (
+        ShuffleInstance, batch_verify,
+    )
+
+    B = 8
+    instances, proofs = [], []
+    for _ in range(B):
+        p_i = list(range(ell))
+        rng.shuffle(p_i)
+        k_i = rng.rand_fr()
+        t_i = get_permutation(backend.batch_mul(vec_R, k_i), p_i)
+        u_i = get_permutation(backend.batch_mul(vec_S, k_i), p_i)
+        sigma_i = get_permutation(list(range(ell)), p_i)
+        rb_i = generate_blinders(rng, 4)
+        m_i = msm(crs.vec_G, sigma_i).add(msm(crs.vec_H, rb_i))
+        instances.append(ShuffleInstance(vec_R, vec_S, t_i, u_i, m_i))
+        proofs.append(CurdleproofsProof.new(crs, vec_R, vec_S, t_i, u_i, m_i,
+                                            p_i, k_i, rb_i, rng))
+    assert batch_verify(crs, instances, proofs, rng)  # warm
+    t0 = time.perf_counter()
+    assert batch_verify(crs, instances, proofs, rng)
+    t_batch = time.perf_counter() - t0
+
+    return (min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3,
+            B / t_batch)
 
 
 def bench_msm_throughput(log_n: int = 12):
@@ -122,7 +149,8 @@ def main():
     ap.add_argument("--skip-msm", action="store_true")
     args = ap.parse_args()
 
-    shuffle_ms, prove_ms, verify_ms = bench_protocol(args.ell, args.repeats)
+    shuffle_ms, prove_ms, verify_ms, batch_rate = bench_protocol(
+        args.ell, args.repeats)
     base_prove, base_verify, base_shuffle = BASELINES_MS.get(
         args.ell, BASELINES_MS[252])
 
@@ -132,6 +160,7 @@ def main():
         "verify_vs_baseline": round(base_verify / verify_ms, 3),
         "shuffle_ms": round(shuffle_ms, 2),
         "shuffle_vs_baseline": round(base_shuffle / shuffle_ms, 3),
+        "batch_verify_proofs_per_s": round(batch_rate, 2),
         "baseline_hw": "i7-8550U (reference README)",
     }
     if not args.skip_msm:

@@ -151,13 +151,16 @@ class GrandProductProof:
         beta_inv_ell1 = fr_pow(beta_inv, ell + 1)
         vec_u.extend([beta_inv_ell1] * n_blinders)
 
-        # D from the CRS sums (2 scalar muls instead of n)
-        D = B.add(crs_G_sum.mul(beta_inv).neg()).add(crs_H_sum.mul(alpha))
+        # D from the CRS sums (2 scalar muls instead of n,
+        # grand_product_argument.rs:223) — the concrete point is needed for
+        # the transcript anyway
 
         # Step 4
         vec_G = list(crs_G_vec) + list(crs_H_vec)
         inner_prod = (self.r_p * fr_pow(beta, ell + 1)
                       + gprod_result * fr_pow(beta, ell) - 1) % R
+
+        D = B.add(crs_G_sum.mul(beta_inv).neg()).add(crs_H_sum.mul(alpha))
 
         self.ipa_proof.verify(vec_G, crs_U, self.C, D, inner_prod, vec_u,
                               transcript, msm_accumulator, rng)

@@ -188,20 +188,26 @@ class InnerProductProof:
         vec_rhs_scalars.append(self.c_final * self.d_final % R * beta % R)
         vec_G_H = list(crs_G_vec) + [crs_H]
 
-        # Step 3: first accumulated check (C-side)
-        H = crs_H.mul(beta)
-        C_a = self.B_c.add(C.mul(alpha)).add(H.mul(alpha * alpha % R * z % R))
-        point_lhs = msm(self.vec_L_C, vec_gamma).add(C_a).add(
-            msm(self.vec_R_C, vec_gamma_inv))
-        msm_accumulator.accumulate_check(point_lhs, vec_rhs_scalars, vec_G_H, rng)
+        # Step 3: first accumulated check (C-side). The whole relation
+        #   gamma x L_C + (B_c + alpha C + alpha^2 z beta H) + gamma^-1 x R_C
+        #     == <rhs, G||H>
+        # enters the accumulator in zero form — no eager group math at all
+        # (the reference computes the lhs eagerly, inner_product_argument.rs
+        # :294-309; here even C's alpha-mul and H's beta-mul are deferred).
+        a2zb = alpha * alpha % R * z % R * beta % R
+        lhs_x = vec_gamma + [1, alpha, a2zb] + vec_gamma_inv
+        lhs_V = self.vec_L_C + [self.B_c, C, crs_H] + self.vec_R_C
+        neg_rhs = [-s % R for s in vec_rhs_scalars]
+        msm_accumulator.accumulate_zero(lhs_x + neg_rhs, lhs_V + vec_G_H, rng)
 
         # second accumulated check (D-side)
         vec_d_div_s = [self.d_final * (si * ui % R) % R
                        for si, ui in zip(vec_inv_s, vec_u)]
-        D_a = self.B_d.add(D.mul(alpha))
-        point_lhs = msm(self.vec_L_D, vec_gamma).add(D_a).add(
-            msm(self.vec_R_D, vec_gamma_inv))
-        msm_accumulator.accumulate_check(point_lhs, vec_d_div_s, crs_G_vec, rng)
+        lhs_x = vec_gamma + [1, alpha] + vec_gamma_inv
+        lhs_V = self.vec_L_D + [self.B_d, D] + self.vec_R_D
+        neg_rhs = [-s % R for s in vec_d_div_s]
+        msm_accumulator.accumulate_zero(lhs_x + neg_rhs, lhs_V + list(crs_G_vec),
+                                        rng)
 
     # --- serde (layout: inner_product_argument.rs:328-351) --------------------
     def serialize(self) -> bytes:

@@ -22,22 +22,27 @@ class MsmAccumulator:
         self._base_scalar: dict[tuple[int, int] | None, int] = {}
         self._base_point: dict[tuple[int, int] | None, G1] = {}
 
-    def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
-                         rng: StdRng) -> None:
-        """Accumulate the check `C == <vec_x, vec_V>` under a fresh random
-        factor. C itself joins the deduped base set with weight -factor, so
-        no eager scalar-mul happens here: the whole batch of checks is the
-        single MSM `sum_i rf_i * (<x_i, V_i> - C_i) == 0`."""
+    def accumulate_zero(self, vec_x: list[int], vec_V: list[G1],
+                        rng: StdRng) -> None:
+        """Accumulate the relation `<vec_x, vec_V> == 0` under a fresh random
+        factor. No eager group math happens here — every term joins the
+        deduped base set, and the whole batch of relations is verified by the
+        single MSM `sum_i rf_i * <x_i, V_i> == 0`."""
         random_factor = rng.rand_fr()
-        keys = G1.batch_to_affine(vec_V + [C])
-        for key, base, scalar in zip(keys, vec_V + [C],
-                                     vec_x + [-1 % R]):
+        keys = G1.batch_to_affine(vec_V)
+        for key, base, scalar in zip(keys, vec_V, vec_x):
             cur = self._base_scalar.get(key)
             if cur is None:
                 self._base_scalar[key] = random_factor * scalar % R
                 self._base_point[key] = base
             else:
                 self._base_scalar[key] = (cur + random_factor * scalar) % R
+
+    def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
+                         rng: StdRng) -> None:
+        """Accumulate the check `C == <vec_x, vec_V>` (zero-relation form:
+        C enters the base set with weight -1)."""
+        self.accumulate_zero(vec_x + [-1 % R], vec_V + [C], rng)
 
     def verify(self) -> None:
         """Run the single deduped MSM; raise VerificationError on mismatch."""

@@ -153,18 +153,19 @@ class SameMultiscalarProof:
         vec_gamma, vec_gamma_inv, vec_s = self.verification_scalars(n, transcript)
         vec_x_times_s = [self.x_final * s % R for s in vec_s]
 
-        A_a = self.B_a.add(A.mul(alpha))
-        Z_t_a = self.B_t.add(Z_t.mul(alpha))
-        Z_u_a = self.B_u.add(Z_u.mul(alpha))
-
-        lhs = msm(self.vec_L_A, vec_gamma).add(A_a).add(msm(self.vec_R_A, vec_gamma_inv))
-        msm_accumulator.accumulate_check(lhs, vec_x_times_s, crs_G_vec, rng)
-
-        lhs = msm(self.vec_L_T, vec_gamma).add(Z_t_a).add(msm(self.vec_R_T, vec_gamma_inv))
-        msm_accumulator.accumulate_check(lhs, vec_x_times_s, vec_T, rng)
-
-        lhs = msm(self.vec_L_U, vec_gamma).add(Z_u_a).add(msm(self.vec_R_U, vec_gamma_inv))
-        msm_accumulator.accumulate_check(lhs, vec_x_times_s, vec_U, rng)
+        # all three relations enter the accumulator in zero form — the
+        # reference computes each lhs eagerly (same_multiscalar_argument.rs
+        # :249-259); here the gamma-folded L/R terms and the alpha-muls all
+        # ride the single deduped MSM
+        neg_rhs = [-s % R for s in vec_x_times_s]
+        for L, R_, B_pt, C_pt, bases in (
+                (self.vec_L_A, self.vec_R_A, self.B_a, A, crs_G_vec),
+                (self.vec_L_T, self.vec_R_T, self.B_t, Z_t, vec_T),
+                (self.vec_L_U, self.vec_R_U, self.B_u, Z_u, vec_U)):
+            lhs_x = vec_gamma + [1, alpha] + vec_gamma_inv
+            lhs_V = L + [B_pt, C_pt] + R_
+            msm_accumulator.accumulate_zero(lhs_x + neg_rhs,
+                                            lhs_V + list(bases), rng)
 
     # --- serde (same_multiscalar_argument.rs:263-289) ---------------------------
     def serialize(self) -> bytes:

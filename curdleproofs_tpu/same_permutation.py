@@ -96,9 +96,11 @@ class SamePermutationProof:
         for i, a in enumerate(vec_a):
             gprod_result = gprod_result * ((a + i * alpha + beta) % R) % R
 
-        # accumulate: (B - A - alpha*M) == <beta*1, g>
-        lhs = self.B.add(A.neg()).add(M.mul(alpha).neg())
-        msm_accumulator.accumulate_check(lhs, [beta] * ell, crs_G_vec, rng)
+        # accumulate: (B - A - alpha*M) == <beta*1, g>, in zero form so the
+        # alpha-mul rides the single deduped MSM too
+        msm_accumulator.accumulate_zero(
+            [1, -1 % R, -alpha % R] + [-beta % R] * ell,
+            [self.B, A, M] + list(crs_G_vec), rng)
 
         self.grand_product_proof.verify(
             crs_G_vec, crs_H_vec, crs_U, crs_G_sum, crs_H_sum, self.B,
