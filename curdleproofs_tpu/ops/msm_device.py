@@ -239,6 +239,28 @@ def _points_from_canonical(p: PointsXYZ) -> list[G1]:
     return out
 
 
+_EXT_CACHE: dict[int, tuple] = {}  # id(points) -> (the list itself, ext)
+
+
+def _ext_points_cached(points: list[G1]) -> PointsXYZ:
+    """Upload + extend once per points-list OBJECT; the dominant real-world
+    pattern is many MSMs over the same bases (the CRS), and the upload of
+    n x 288 B dwarfs everything else at large n. The cache keeps a strong
+    reference to the exact list object, so the id() key cannot be reused by
+    a different list while the entry lives; `is` confirms identity. NOTE:
+    callers must not mutate a list after passing it here (protocol code
+    never does — base lists are CRS fields or freshly built)."""
+    key = id(points)
+    hit = _EXT_CACHE.get(key)
+    if hit is not None and hit[0] is points:
+        return hit[1]
+    ext = _extend_points(points_to_device(points))
+    if len(_EXT_CACHE) > 8:  # bound device memory held by the cache
+        _EXT_CACHE.clear()
+    _EXT_CACHE[key] = (points, ext)
+    return ext
+
+
 def msm_device(points: list[G1], scalars: list[int],
                c: int | None = None) -> G1:
     """Device bucket phase (one pallas call) + host weighted combine."""
@@ -248,8 +270,7 @@ def msm_device(points: list[G1], scalars: list[int],
     if c is None:
         c = pick_window_device(n)
     plan = build_plan_glv(scalars, n, c)
-    pts = points_to_device(points)
-    ext = _extend_points(pts)
+    ext = _ext_points_cached(points)
     from .g1_ops import use_pallas
 
     if use_pallas():
