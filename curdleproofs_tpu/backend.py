@@ -39,6 +39,12 @@ class Backend:
         round; backends may batch them into one pass."""
         return [self.msm(p, s) for p, s in groups]
 
+    def fold_points_each(self, left: list[G1], right: list[G1],
+                         scalars: list[int]) -> list[G1]:
+        """[L_i + s_i * R_i] with per-point scalars (e.g. the IPA round's
+        gamma/gamma_inv fold pair concatenated into one call)."""
+        return [l.add(r.mul(s)) for l, r, s in zip(left, right, scalars)]
+
 
 class HostBackend(Backend):
     """Host path: native C++ (64-bit-limb Montgomery) when built, Python ints
@@ -83,6 +89,12 @@ class HostBackend(Backend):
         if self._native is not None and sum(len(p) for p, _ in groups) >= 8:
             return self._native.msm_many(groups)
         return [self.msm(p, s) for p, s in groups]
+
+    def fold_points_each(self, left: list[G1], right: list[G1],
+                         scalars: list[int]) -> list[G1]:
+        if self._native is not None and len(left) >= 4:
+            return self._native.fold_each_glv(left, right, scalars)
+        return [l.add(r.mul(s)) for l, r, s in zip(left, right, scalars)]
 
 
 class PurePythonBackend(HostBackend):

@@ -45,6 +45,10 @@ def lib() -> ctypes.CDLL | None:
         "cp_dual_mul_each": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
                              ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
                              ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p],
+        "cp_fold_each": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+                         ctypes.c_char_p],
         "cp_dual_mul_norm": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                              ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
                              ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
@@ -174,6 +178,26 @@ def fold_glv(left: list[G1], right: list[G1], gamma: int) -> list[G1]:
     out = ctypes.create_string_buffer(_POINT * n)
     lib().cp_dual_mul_norm(pts_to_bytes(left), pts_to_bytes(right), n, beta,
                            k1b, n1, k2b, n2, nbits, out)
+    return pts_from_bytes(out.raw, n)
+
+
+def fold_each_glv(left: list[G1], right: list[G1],
+                  scalars: list[int]) -> list[G1]:
+    """[left_i + s_i * right_i] with per-point scalars (e.g. the IPA round's
+    gamma/gamma_inv fold pair concatenated into one call)."""
+    g = _glv()
+    n = len(right)
+    db = g.decompose_batch(scalars)
+    if db is None:
+        return [l.add(r.mul(s)) for l, r, s in zip(left, right, scalars)]
+    hk1, negs1, hk2, negs2 = db
+    pad = b"\x00" * 16
+    k1s = b"".join(hk1[16 * i : 16 * i + 16] + pad for i in range(n))
+    k2s = b"".join(hk2[16 * i : 16 * i + 16] + pad for i in range(n))
+    out = ctypes.create_string_buffer(_POINT * n)
+    lib().cp_fold_each(pts_to_bytes(left), pts_to_bytes(right), n,
+                       g.BETA.to_bytes(48, "little"),
+                       k1s, negs1, k2s, negs2, 128, out)
     return pts_from_bytes(out.raw, n)
 
 

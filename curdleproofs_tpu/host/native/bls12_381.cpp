@@ -24,13 +24,19 @@ typedef uint64_t u64;
 #include "constants_generated.h"
 #include "ifma52.h"
 
+namespace {
+struct G1;  // fwd
+void batch_normalize(G1 *pts, size_t n);  // defined with the inversion code
+}  // namespace
+
 #if CP_HAVE_IFMA
 namespace {
 // defined below with the IFMA ladder machinery
 void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
                const uint8_t *beta48, const uint8_t *k1, int neg1,
                const uint8_t *k2, int neg2, uint8_t *out);
-void batch_mul_each_ifma(const uint8_t *points, uint64_t n,
+void batch_mul_each_ifma(const uint8_t *left_bytes,
+                         const uint8_t *points, uint64_t n,
                          const uint8_t *beta48,
                          const uint8_t *k1s, const uint8_t *negs1,
                          const uint8_t *k2s, const uint8_t *negs2,
@@ -759,7 +765,7 @@ void cp_dual_mul_each(const uint8_t *points, uint64_t n,
                       int32_t nbits, uint8_t *out) {
 #if CP_HAVE_IFMA
     if (nbits <= 128 && n >= 4 && !std::getenv("CP_NO_IFMA")) {
-        batch_mul_each_ifma(points, n, beta48, k1s,
+        batch_mul_each_ifma(nullptr, points, n, beta48, k1s,
                             (const uint8_t *)negs1, k2s,
                             (const uint8_t *)negs2, out);
         return;
@@ -774,6 +780,35 @@ void cp_dual_mul_each(const uint8_t *points, uint64_t n,
                       negs2[i], nbits, nullptr, r);
         store_g1(r, out + 144 * i);
     }
+}
+
+// out[i] = left[i] + k_i * P_i with per-point scalars (the IPA verifier-side
+// fold pair gamma/gamma_inv runs as one call over G || G').
+void cp_fold_each(const uint8_t *left, const uint8_t *points, uint64_t n,
+                  const uint8_t *beta48,
+                  const uint8_t *k1s, const int8_t *negs1,
+                  const uint8_t *k2s, const int8_t *negs2,
+                  int32_t nbits, uint8_t *out) {
+#if CP_HAVE_IFMA
+    if (nbits <= 128 && n >= 4 && !std::getenv("CP_NO_IFMA")) {
+        batch_mul_each_ifma(left, points, n, beta48, k1s,
+                            (const uint8_t *)negs1, k2s,
+                            (const uint8_t *)negs2, out);
+        return;
+    }
+#endif
+    Fq beta;
+    load_fq(beta48, beta);
+    std::vector<G1> res(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        G1 base, l;
+        load_g1(points + 144 * i, base);
+        load_g1(left + 144 * i, l);
+        dual_mul_core(base, beta, k1s + 32 * i, negs1[i], k2s + 32 * i,
+                      negs2[i], nbits, &l, res[i]);
+    }
+    batch_normalize(res.data(), n);
+    for (uint64_t i = 0; i < n; ++i) store_g1(res[i], out + 144 * i);
 }
 
 }  // extern "C"
@@ -1551,11 +1586,13 @@ void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
     for (uint64_t i = 0; i < n; ++i) store_g1(res[i], out + 144 * i);
 }
 
-// out[i] = k_i * P_i with PER-POINT GLV-split scalars. Same 8-wide ladder as
-// fold_ifma, but the window digits differ per lane: the table entry is chosen
-// per lane with mask selects, zero-digit lanes are masked out by setting the
-// addend's Z to 0 (add_jacK's q-infinity path keeps the accumulator).
-void batch_mul_each_ifma(const uint8_t *points, uint64_t n,
+// out[i] = (left ? left[i] : 0) + k_i * P_i with PER-POINT GLV-split scalars.
+// Same 8-wide ladder as fold_ifma, but the window digits differ per lane: the
+// table entry is chosen per lane with mask selects, zero-digit lanes are
+// masked out by setting the addend's Z to 0 (add_jacK's q-infinity path
+// keeps the accumulator).
+void batch_mul_each_ifma(const uint8_t *left_bytes,
+                         const uint8_t *points, uint64_t n,
                          const uint8_t *beta48,
                          const uint8_t *k1s, const uint8_t *negs1,
                          const uint8_t *k2s, const uint8_t *negs2,
@@ -1587,6 +1624,17 @@ void batch_mul_each_ifma(const uint8_t *points, uint64_t n,
     convert_to52_batch(b1y.data(), n, p1y.data());
     convert_to52_batch(b2x.data(), n, p2x.data());
     convert_to52_batch(b2y.data(), n, p2y.data());
+    std::vector<u64> lx, ly, lz;
+    if (left_bytes) {
+        std::vector<Fq> t(n);
+        lx.resize(ng * 64); ly.resize(ng * 64); lz.resize(ng * 64);
+        for (uint64_t i = 0; i < n; ++i) load_fq(left_bytes + 144 * i, t[i]);
+        convert_to52_batch(t.data(), n, lx.data());
+        for (uint64_t i = 0; i < n; ++i) load_fq(left_bytes + 144 * i + 48, t[i]);
+        convert_to52_batch(t.data(), n, ly.data());
+        for (uint64_t i = 0; i < n; ++i) load_fq(left_bytes + 144 * i + 96, t[i]);
+        convert_to52_batch(t.data(), n, lz.data());
+    }
     // per-point digits (33 windows each for both halves); the caller's scalar
     // buffers are 32-byte entries with the top 16 bytes zero (nbits <= 128)
     std::vector<int8_t> dig1(n * 33), dig2(n * 33);
@@ -1691,6 +1739,22 @@ void batch_mul_each_ifma(const uint8_t *points, uint64_t n,
                 }
                 if (any) add_jacK<K>(acc, Q);
             }
+        }
+        if (left_bytes) {
+            Jac8 Lp[K];
+            for (int g = 0; g < K; ++g) {
+                size_t gb = base + 8 * (size_t)g;
+                size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
+                const u64 *slx[8], *sly[8], *slz[8];
+                for (int kk = 0; kk < 8; ++kk) {
+                    size_t e = (size_t)kk < m ? gb + kk : base;
+                    slx[kk] = lx.data() + e * 8;
+                    sly[kk] = ly.data() + e * 8;
+                    slz[kk] = lz.data() + e * 8;
+                }
+                load8(slx, Lp[g].X); load8(sly, Lp[g].Y); load8(slz, Lp[g].Z);
+            }
+            add_jacK<K>(acc, Lp);
         }
         for (int g = 0; g < K; ++g) {
             if (!lanes[g]) continue;

@@ -127,8 +127,11 @@ class InnerProductProof:
 
             vec_c = [(l + gamma_inv * r) % R for l, r in zip(c_L, c_R)]
             vec_d = [(l + gamma * r) % R for l, r in zip(d_L, d_R)]
-            vec_G = backend.fold_points(G_L, G_R, gamma)
-            vec_G_prime = backend.fold_points(Gp_L, Gp_R, gamma_inv)
+            # the gamma and gamma_inv folds run as ONE per-point-scalar call
+            folded = backend.fold_points_each(
+                G_L + Gp_L, G_R + Gp_R, [gamma] * half + [gamma_inv] * half)
+            vec_G = folded[:half]
+            vec_G_prime = folded[half:]
 
         return InnerProductProof(B_c, B_d, vec_L_C, vec_R_C, vec_L_D, vec_R_D,
                                  vec_c[0], vec_d[0])
