@@ -18,25 +18,20 @@ __all__ = ["MsmAccumulator"]
 
 class MsmAccumulator:
     def __init__(self):
-        # dedup on affine coordinates (arkworks dedups on G1Affine hash)
-        self._base_scalar: dict[tuple[int, int] | None, int] = {}
-        self._base_point: dict[tuple[int, int] | None, G1] = {}
+        # raw (scalar, point) terms; dedup happens ONCE at verify time with a
+        # single batch normalisation (arkworks dedups eagerly per check on a
+        # G1Affine hash map, msm_accumulator.rs:37-52 — same semantics)
+        self._xs: list[int] = []
+        self._Vs: list[G1] = []
 
     def accumulate_zero(self, vec_x: list[int], vec_V: list[G1],
                         rng: StdRng) -> None:
         """Accumulate the relation `<vec_x, vec_V> == 0` under a fresh random
-        factor. No eager group math happens here — every term joins the
-        deduped base set, and the whole batch of relations is verified by the
-        single MSM `sum_i rf_i * <x_i, V_i> == 0`."""
+        factor. No group math happens here — the whole batch of relations is
+        verified by the single MSM `sum_i rf_i * <x_i, V_i> == 0`."""
         random_factor = rng.rand_fr()
-        keys = G1.batch_to_affine(vec_V)
-        for key, base, scalar in zip(keys, vec_V, vec_x):
-            cur = self._base_scalar.get(key)
-            if cur is None:
-                self._base_scalar[key] = random_factor * scalar % R
-                self._base_point[key] = base
-            else:
-                self._base_scalar[key] = (cur + random_factor * scalar) % R
+        self._xs.extend(random_factor * x % R for x in vec_x)
+        self._Vs.extend(vec_V)
 
     def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
                          rng: StdRng) -> None:
@@ -44,9 +39,21 @@ class MsmAccumulator:
         C enters the base set with weight -1)."""
         self.accumulate_zero(vec_x + [-1 % R], vec_V + [C], rng)
 
+    def _dedup(self) -> tuple[list[G1], list[int]]:
+        keys = G1.batch_to_affine(self._Vs)
+        scal: dict[tuple[int, int] | None, int] = {}
+        pt: dict[tuple[int, int] | None, G1] = {}
+        for key, base, x in zip(keys, self._Vs, self._xs):
+            cur = scal.get(key)
+            if cur is None:
+                scal[key] = x
+                pt[key] = base
+            else:
+                scal[key] = (cur + x) % R
+        return list(pt.values()), [scal[k] for k in pt]
+
     def verify(self) -> None:
         """Run the single deduped MSM; raise VerificationError on mismatch."""
-        bases = list(self._base_point.values())
-        scalars = [self._base_scalar[k] for k in self._base_point]
+        bases, scalars = self._dedup()
         if not msm(bases, scalars).is_infinity():
             raise VerificationError("accumulated MSM check failed")

@@ -46,8 +46,7 @@ def _final_check(acc: MsmAccumulator, mesh: Mesh | None) -> bool:
             return True
         except VerificationError:
             return False
-    bases = list(acc._base_point.values())
-    scalars = [acc._base_scalar[k] for k in acc._base_point]
+    bases, scalars = acc._dedup()
     return sharded_msm(bases, scalars, mesh).is_infinity()
 
 
