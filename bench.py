@@ -144,7 +144,7 @@ def bench_msm_throughput(log_n: int = 12):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ell", type=int, default=252)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--msm-logn", type=int, default=12)
     ap.add_argument("--skip-msm", action="store_true")
     args = ap.parse_args()

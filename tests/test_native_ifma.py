@@ -86,6 +86,29 @@ def test_batch_mul_each_matches_python():
         assert native.batch_mul_each_glv(pts, ss) == want
 
 
+def test_scalar_fallback_paths_match(monkeypatch):
+    """CP_NO_IFMA routes the native calls through the scalar C++ paths;
+    results must be identical (covers machines without AVX512-IFMA)."""
+    if not _ifma_available():
+        pytest.skip("no AVX512-IFMA on this host (fallback is the only path)")
+    rng = random.Random(77)
+    n = 40
+    pts = [_rand_pt(rng) for _ in range(n)]
+    ss = [rng.randrange(R) for _ in range(n)]
+    left = [_rand_pt(rng) for _ in range(n)]
+    gamma = rng.randrange(R)
+    with_ifma = (native.msm(pts, ss),
+                 native.fold_glv(left, pts, gamma),
+                 native.batch_mul_each_glv(pts, ss),
+                 native.msm_many([(pts[:20], ss[:20]), (pts[20:], ss[20:])]))
+    monkeypatch.setenv("CP_NO_IFMA", "1")
+    without = (native.msm(pts, ss),
+               native.fold_glv(left, pts, gamma),
+               native.batch_mul_each_glv(pts, ss),
+               native.msm_many([(pts[:20], ss[:20]), (pts[20:], ss[20:])]))
+    assert with_ifma == without
+
+
 def test_batch_to_affine_matches_python():
     rng = random.Random(42)
     pts = [_rand_pt(rng) for _ in range(20)]
