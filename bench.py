@@ -104,9 +104,11 @@ def bench_protocol(ell: int, repeats: int = 3):
         proofs.append(CurdleproofsProof.new(crs, vec_R, vec_S, t_i, u_i, m_i,
                                             p_i, k_i, rb_i, rng))
     assert batch_verify(crs, instances, proofs, rng)  # warm
-    t0 = time.perf_counter()
-    assert batch_verify(crs, instances, proofs, rng)
-    t_batch = time.perf_counter() - t0
+    t_batch = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        assert batch_verify(crs, instances, proofs, rng)
+        t_batch = min(t_batch, time.perf_counter() - t0)
 
     return (min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3,
             B / t_batch)
@@ -147,6 +149,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--msm-logn", type=int, default=12)
     ap.add_argument("--skip-msm", action="store_true")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the device MSM")
     args = ap.parse_args()
 
     shuffle_ms, prove_ms, verify_ms, batch_rate = bench_protocol(
@@ -165,7 +169,13 @@ def main():
     }
     if not args.skip_msm:
         try:
-            msm_rate = bench_msm_throughput(args.msm_logn)
+            if args.profile:
+                import jax
+
+                with jax.profiler.trace(args.profile):
+                    msm_rate = bench_msm_throughput(args.msm_logn)
+            else:
+                msm_rate = bench_msm_throughput(args.msm_logn)
             extra["device_msm_scalar_muls_per_s"] = round(msm_rate, 1)
             extra["device_msm_log_n"] = args.msm_logn
         except Exception as e:  # no TPU available etc.

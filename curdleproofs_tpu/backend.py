@@ -142,7 +142,20 @@ def _pippenger(points: list[G1], scalars: list[int], window: int | None = None) 
     return acc
 
 
-_active: Backend = HostBackend()
+def _backend_from_env() -> Backend:
+    import os
+
+    name = os.environ.get("CURDLEPROOFS_BACKEND", "host").lower()
+    if name in ("tpu", "hybrid"):
+        from .ops.backend import TpuBackend
+
+        return TpuBackend()
+    if name in ("pure", "python", "pure-python"):
+        return PurePythonBackend()
+    return HostBackend()
+
+
+_active: Backend = _backend_from_env()
 
 
 def get_backend() -> Backend:

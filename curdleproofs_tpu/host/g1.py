@@ -26,13 +26,14 @@ class G1:
     the cached bytes still decode to that value.
     """
 
-    __slots__ = ("x", "y", "z", "_nb")
+    __slots__ = ("x", "y", "z", "_nb", "_cb")
 
     def __init__(self, x: int, y: int, z: int = 1):
         self.x = x
         self.y = y
         self.z = z
         self._nb = None
+        self._cb = None  # cached 48-byte compressed encoding
 
     # --- constructors -----------------------------------------------------
     @staticmethod

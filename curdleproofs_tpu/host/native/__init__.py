@@ -70,6 +70,9 @@ def lib() -> ctypes.CDLL | None:
                          ctypes.c_int32],
         "cp_strobe_prf": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                           ctypes.c_int32],
+        "cp_strobe_append_many": [ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_uint64, ctypes.c_char_p,
+                                  ctypes.c_uint64, ctypes.c_uint64],
     }.items():
         fn = getattr(cdll, name)
         fn.argtypes = argtypes

@@ -2904,4 +2904,25 @@ void cp_strobe_prf(uint8_t *blob, uint8_t *out, uint64_t n, int32_t more) {
     strobe_squeeze(s, out, n);
 }
 
+// merlin append_message(label, msg) for `count` equal-size messages in one
+// call (point-vector transcript appends are 3 ctypes calls per point
+// otherwise). Semantics per message: meta_ad(label, false);
+// meta_ad(len_le32, true); ad(msg, false) — transcript.rs:29-33.
+void cp_strobe_append_many(uint8_t *blob, const uint8_t *label,
+                           uint64_t label_len, const uint8_t *msgs,
+                           uint64_t msg_size, uint64_t count) {
+    StrobeState &s = *reinterpret_cast<StrobeState *>(blob);
+    uint8_t len_le[4] = {
+        (uint8_t)msg_size, (uint8_t)(msg_size >> 8),
+        (uint8_t)(msg_size >> 16), (uint8_t)(msg_size >> 24)};
+    for (uint64_t i = 0; i < count; ++i) {
+        strobe_begin_op(s, 0x10 | 0x02, /*more=*/0);   // META_AD (M|A)
+        strobe_absorb(s, label, label_len);
+        strobe_begin_op(s, 0x10 | 0x02, /*more=*/1);
+        strobe_absorb(s, len_le, 4);
+        strobe_begin_op(s, 0x02, /*more=*/0);          // AD (A)
+        strobe_absorb(s, msgs + i * msg_size, msg_size);
+    }
+}
+
 }  // extern "C"

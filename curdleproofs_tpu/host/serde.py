@@ -28,19 +28,29 @@ _SORT_FLAG = 0x20  # y is the lexicographically largest of the two roots
 
 
 def g1_to_bytes(p: G1) -> bytes:
-    """ZCash-format compressed serialization (48 bytes, big-endian x)."""
+    """ZCash-format compressed serialization (48 bytes, big-endian x).
+
+    Cached on the point object (value-immutable; see G1 docstring) — the
+    protocol appends the same R/S/T/U points to the transcript repeatedly."""
+    cb = p._cb
+    if cb is not None:
+        return cb
     aff = p.to_affine()
     if aff is None:
         out = bytearray(48)
         out[0] = _COMPRESSED_FLAG | _INFINITY_FLAG
-        return bytes(out)
+        cb = bytes(out)
+        p._cb = cb
+        return cb
     x, y = aff
     out = bytearray(x.to_bytes(48, "big"))
     flags = _COMPRESSED_FLAG
     if y > Q - y:  # y is the larger root (Q - y is the other; y != 0 on this curve)
         flags |= _SORT_FLAG
     out[0] |= flags
-    return bytes(out)
+    cb = bytes(out)
+    p._cb = cb
+    return cb
 
 
 def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:

@@ -148,6 +148,12 @@ class NativeStrobe128:
         self._lib.cp_strobe_prf(self._blob, out, n, 1 if more else 0)
         return out.raw[:n]
 
+    def append_many(self, label: bytes, msgs: bytes, msg_size: int,
+                    count: int) -> None:
+        """merlin append_message(label, m) for `count` equal-size messages."""
+        self._lib.cp_strobe_append_many(self._blob, label, len(label),
+                                        msgs, msg_size, count)
+
 
 def _best_strobe():
     try:
@@ -173,6 +179,16 @@ class MerlinTranscript:
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(len(message).to_bytes(4, "little"), True)
         self.strobe.ad(message, False)
+
+    def append_equal_messages(self, label: bytes, msgs: bytes,
+                              msg_size: int, count: int) -> None:
+        """append_message(label, m) for `count` equal-size concatenated
+        messages — one native call when available."""
+        if hasattr(self.strobe, "append_many"):
+            self.strobe.append_many(label, msgs, msg_size, count)
+            return
+        for i in range(count):
+            self.append_message(label, msgs[i * msg_size : (i + 1) * msg_size])
 
     def append_u64(self, label: bytes, x: int) -> None:
         self.append_message(label, x.to_bytes(8, "little"))

@@ -36,7 +36,12 @@ class Transcript:
         self._t.append_message(label, g1_to_bytes(p))
 
     def append_points(self, label: bytes, points: list[G1]) -> None:
-        """`append_list` over individual point items."""
+        """`append_list` over individual point items (one native strobe
+        call for the whole vector)."""
+        if len(points) > 2:
+            msgs = b"".join(g1_to_bytes(p) for p in points)
+            self._t.append_equal_messages(label, msgs, 48, len(points))
+            return
         for p in points:
             self.append_point(label, p)
 
