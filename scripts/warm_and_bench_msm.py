@@ -45,11 +45,25 @@ for logn in [int(a) for a in sys.argv[1:]] or [12]:
         t0 = time.time()
         r2 = msm_device(pts, ss)
         times.append(time.time() - t0)
+    # window autotune: probe the heuristic's neighbours, keep the best
+    c0 = pick_window_device(n)
+    best_c, best_t = c0, min(times)
+    for c_try in (c0 - 1, c0 + 1):
+        if c_try < 6 or c_try > 16:
+            continue
+        msm_device(pts, ss, c=c_try)  # compile/warm
+        t0 = time.time()
+        r_c = msm_device(pts, ss, c=c_try)
+        dt = time.time() - t0
+        assert r_c == r1
+        if dt < best_t:
+            best_c, best_t = c_try, dt
     t0 = time.time()
     r3 = hb.msm(pts, ss)
     t_host = time.time() - t0
     rec = {
         "log_n": logn, "c": pick_window_device(n),
+        "autotuned_c": best_c, "autotuned_ms": round(best_t * 1e3, 1),
         "tpu_first_s": round(t_first, 1),
         "tpu_warm_ms": round(min(times) * 1e3, 1),
         "tpu_muls_per_s": round(n / min(times), 1),
