@@ -1243,6 +1243,13 @@ int cp_ifma_selftest(void) {
         convert_from52_batch(pr, 8, got);
         for (int k = 0; k < 8; ++k)
             if (std::memcmp(got[k].l, want_neg[k].l, 48)) return 4;
+        Fq want_sqr[8];
+        for (int k = 0; k < 8; ++k) fq_mul(a[k], a[k], want_sqr[k]);
+        ifma::sqr8(va, vr);
+        ifma::store8(vr, dr);
+        convert_from52_batch(pr, 8, got);
+        for (int k = 0; k < 8; ++k)
+            if (std::memcmp(got[k].l, want_sqr[k].l, 48)) return 5;
     }
     return 0;
 #else

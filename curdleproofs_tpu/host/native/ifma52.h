@@ -220,7 +220,44 @@ inline void montmul8(const Fq8 &a, const Fq8 &b, Fq8 &r) {
     csub_p(r.v);
 }
 
-inline void sqr8(const Fq8 &a, Fq8 &r) { montmul8(a, a, r); }
+// Montgomery square, SOS with halved cross terms: cross products i<j are
+// accumulated once and doubled before the diagonals join — 72 madds in the
+// product phase instead of 128. Accumulator bound: cross sums < 8*2^52,
+// doubled < 2^56, plus diagonals and the reduction's 2 adds per slot per
+// round stays well under 2^63.
+inline void sqr8(const Fq8 &a, Fq8 &r) {
+    const __m512i zero = _mm512_setzero_si512();
+    __m512i t[16];
+    for (int k = 0; k < 16; ++k) t[k] = zero;
+    // cross terms i < j
+    for (int i = 0; i < 8; ++i) {
+        for (int j = i + 1; j < 8; ++j) {
+            t[i + j] = _mm512_madd52lo_epu64(t[i + j], a.v[i], a.v[j]);
+            t[i + j + 1] = _mm512_madd52hi_epu64(t[i + j + 1], a.v[i], a.v[j]);
+        }
+    }
+    // double, then add diagonals
+    for (int k = 0; k < 16; ++k) t[k] = _mm512_add_epi64(t[k], t[k]);
+    for (int i = 0; i < 8; ++i) {
+        t[2 * i] = _mm512_madd52lo_epu64(t[2 * i], a.v[i], a.v[i]);
+        t[2 * i + 1] = _mm512_madd52hi_epu64(t[2 * i + 1], a.v[i], a.v[i]);
+    }
+    // Montgomery reduction (same as montmul8)
+    const __m512i pinv = _mm512_set1_epi64((long long)P_INV52);
+    __m512i pv[8];
+    for (int j = 0; j < 8; ++j) pv[j] = _mm512_set1_epi64((long long)P52[j]);
+    for (int i = 0; i < 8; ++i) {
+        __m512i m = _mm512_madd52lo_epu64(zero, t[i], pinv);
+        for (int j = 0; j < 8; ++j) {
+            t[i + j] = _mm512_madd52lo_epu64(t[i + j], m, pv[j]);
+            t[i + j + 1] = _mm512_madd52hi_epu64(t[i + j + 1], m, pv[j]);
+        }
+        t[i + 1] = _mm512_add_epi64(t[i + 1], _mm512_srli_epi64(t[i], 52));
+    }
+    for (int j = 0; j < 8; ++j) r.v[j] = t[8 + j];
+    carry_prop(r.v);
+    csub_p(r.v);
+}
 
 // broadcast one packed element to all lanes
 inline void broadcast8(const u64 src[8], Fq8 &out) {
