@@ -73,6 +73,10 @@ def lib() -> ctypes.CDLL | None:
         "cp_strobe_append_many": [ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_uint64, ctypes.c_char_p,
                                   ctypes.c_uint64, ctypes.c_uint64],
+        "cp_g1_decompress_validate": [ctypes.c_char_p, ctypes.c_uint64,
+                                      ctypes.c_char_p, ctypes.c_char_p],
+        "cp_subgroup_check": [ctypes.c_char_p, ctypes.c_uint64,
+                              ctypes.c_char_p],
     }.items():
         fn = getattr(cdll, name)
         fn.argtypes = argtypes

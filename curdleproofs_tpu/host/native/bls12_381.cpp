@@ -2566,6 +2566,271 @@ void cp_msm_glv_many(const uint8_t *points, uint64_t n,
 
 }  // extern "C"
 
+// ---- batch G1 decompression + validation (ZCash 48-byte format) ----
+// The whisk byte boundary (whisk.rs:265-341) decompresses hundreds of points
+// per call: sqrt = x^((q+1)/4) (q = 3 mod 4) batched 8-wide on the IFMA
+// engine, subgroup check = [r]P with a shared-digit 8-wide Jacobian ladder.
+
+namespace {
+
+#if CP_HAVE_IFMA
+
+// vertical batch pow by the fixed public exponent (q+1)/4
+void pow_q14_8(const ifma::Fq8 &base, ifma::Fq8 &out) {
+    using namespace ifma;
+    bool started = false;
+    Fq8 acc;
+    for (int limb = 5; limb >= 0; --limb) {
+        for (int bit = 63; bit >= 0; --bit) {
+            if (started) sqr8(acc, acc);
+            if ((Q14[limb] >> bit) & 1) {
+                if (started) montmul8(acc, base, acc);
+                else { acc = base; started = true; }
+            }
+        }
+    }
+    out = acc;
+}
+
+// [r] * (affine base) for 8 lanes; returns mask of lanes where the result is
+// the identity (i.e. the base is in the prime-order subgroup). Unsigned
+// window-4 ladder with shared digits (r is public and fixed).
+__mmask8 subgroup_ladder8(const ifma::Fq8 &bx, const ifma::Fq8 &by,
+                          __mmask8 binf) {
+    using namespace ifma;
+    Fq8 one, zero;
+    broadcast8(ONE_MONT52, one);
+    set_zero8(zero);
+    Jac8 tab[15];
+    tab[0].X = bx;
+    tab[0].Y = by;
+    select8(binf, zero, one, tab[0].Z);
+    for (int i = 1; i < 15; ++i) {  // tab[i] = (i+1) * P
+        if (i % 2 == 1) { tab[i] = tab[i / 2]; dbl_jac8(tab[i]); }
+        else { tab[i] = tab[i - 1]; add_jac8(tab[i], tab[0]); }
+    }
+    Jac8 acc;
+    set_inf_jac8(acc);
+    bool started = false;
+    for (int w = 63; w >= 0; --w) {
+        if (started)
+            for (int s = 0; s < 4; ++s) dbl_jac8(acc);
+        unsigned d = (unsigned)((R_ORDER[w / 16] >> (4 * (w % 16))) & 0xf);
+        if (d) { started = true; add_jac8(acc, tab[d - 1]); }
+    }
+    return is_zero8(acc.Z);
+}
+
+#endif  // CP_HAVE_IFMA
+
+}  // namespace
+
+extern "C" {
+
+// comp: n x 48-byte compressed points. out: n x 144-byte Jacobian canonical.
+// flags[i]: 0 = valid, 1 = malformed encoding, 2 = x not on curve,
+// 3 = not in the prime-order subgroup. Infinity decodes valid with z = 0.
+void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
+                               uint8_t *flags) {
+    // parse + x^3 + 4 (Montgomery domain)
+    std::vector<Fq> xs(n), ts(n);          // x, x^3+4
+    std::vector<uint8_t> inf(n, 0), sort_flag(n, 0);
+    Fq four;
+    std::memset(four.l, 0, 48);
+    four.l[0] = 4;
+    to_mont(four);
+    for (uint64_t i = 0; i < n; ++i) {
+        const uint8_t *c = comp + 48 * i;
+        flags[i] = 0;
+        std::memset(out + 144 * i, 0, 144);
+        if (!(c[0] & 0x80)) { flags[i] = 1; continue; }   // must be compressed
+        if (c[0] & 0x40) {                                 // infinity
+            uint8_t acc = (uint8_t)(c[0] & 0x3f);
+            for (int b = 1; b < 48; ++b) acc |= c[b];
+            if (acc) flags[i] = 1;
+            inf[i] = 1;                                    // z = 0 already
+            continue;
+        }
+        sort_flag[i] = (c[0] >> 5) & 1;
+        uint8_t be[48];
+        std::memcpy(be, c, 48);
+        be[0] &= 0x1f;
+        Fq x;
+        for (int b = 0; b < 48; ++b)
+            ((uint8_t *)x.l)[b] = be[47 - b];              // BE -> LE limbs
+        if (fq_geq_p(x)) { flags[i] = 1; continue; }
+        to_mont(x);
+        xs[i] = x;
+        Fq x2, x3;
+        fq_sqr(x, x2);
+        fq_mul(x2, x, x3);
+        fq_add(x3, four, ts[i]);
+    }
+#if CP_HAVE_IFMA
+    const bool use_ifma = !std::getenv("CP_NO_IFMA");
+#else
+    const bool use_ifma = false;
+#endif
+    std::vector<Fq> ys(n);
+    std::vector<uint8_t> on_curve(n, 0);
+#if CP_HAVE_IFMA
+    if (use_ifma) {
+        std::vector<u64> t52(((n + 7) / 8) * 64), y52(((n + 7) / 8) * 64);
+        convert_to52_batch(ts.data(), n, t52.data());
+        for (uint64_t base = 0; base < n; base += 8) {
+            const u64 *src[8];
+            u64 *dst[8];
+            for (int k = 0; k < 8; ++k) {
+                uint64_t e = base + (uint64_t)k < n ? base + k : base;
+                src[k] = t52.data() + e * 8;
+                dst[k] = y52.data() + (base + k < n ? base + k : base) * 8;
+            }
+            ifma::Fq8 t8, y8;
+            ifma::load8(src, t8);
+            pow_q14_8(t8, y8);
+            unsigned lanes = base + 8 <= n ? 0xffu : ((1u << (n - base)) - 1u);
+            ifma::store8(y8, dst, lanes);
+        }
+        convert_from52_batch(y52.data(), n, ys.data());
+    } else
+#endif
+    {
+        for (uint64_t i = 0; i < n; ++i) {
+            if (flags[i] || inf[i]) continue;
+            // scalar pow by (q+1)/4
+            Fq acc;
+            bool started = false;
+            for (int limb = 5; limb >= 0; --limb)
+                for (int bit = 63; bit >= 0; --bit) {
+                    if (started) fq_sqr(acc, acc);
+                    if ((Q14[limb] >> bit) & 1) {
+                        if (started) fq_mul(acc, ts[i], acc);
+                        else { acc = ts[i]; started = true; }
+                    }
+                }
+            ys[i] = acc;
+        }
+    }
+    // curve check + root selection (larger canonical root iff sort flag)
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        if (flags[i] || inf[i]) continue;
+        Fq y2;
+        fq_sqr(ys[i], y2);
+        if (std::memcmp(y2.l, ts[i].l, 48)) { flags[i] = 2; continue; }
+        // canonical forms of y and p - y
+        Fq y_c = ys[i];
+        from_mont(y_c);
+        Fq yn;
+        fq_neg(ys[i], yn);
+        Fq yn_c = yn;
+        from_mont(yn_c);
+        bool y_is_larger = false;
+        for (int l = 5; l >= 0; --l) {
+            if (y_c.l[l] != yn_c.l[l]) { y_is_larger = y_c.l[l] > yn_c.l[l]; break; }
+        }
+        Fq y_sel = (y_is_larger == (bool)sort_flag[i]) ? ys[i] : yn;
+        pts[i].x = xs[i];
+        pts[i].y = y_sel;
+        std::memcpy(pts[i].z.l, ONE_MONT, 48);
+        on_curve[i] = 1;
+    }
+    // subgroup checks
+#if CP_HAVE_IFMA
+    if (use_ifma) {
+        std::vector<Fq> bx(n), by(n);
+        for (uint64_t i = 0; i < n; ++i) {
+            if (on_curve[i]) { bx[i] = pts[i].x; by[i] = pts[i].y; }
+            else { std::memset(bx[i].l, 0, 48); std::memset(by[i].l, 0, 48); }
+        }
+        std::vector<u64> x52(((n + 7) / 8) * 64), yy52(((n + 7) / 8) * 64);
+        convert_to52_batch(bx.data(), n, x52.data());
+        convert_to52_batch(by.data(), n, yy52.data());
+        for (uint64_t base = 0; base < n; base += 8) {
+            const u64 *sx[8], *sy[8];
+            __mmask8 binf = 0;
+            for (int k = 0; k < 8; ++k) {
+                uint64_t e = base + (uint64_t)k < n ? base + k : base;
+                sx[k] = x52.data() + e * 8;
+                sy[k] = yy52.data() + e * 8;
+                if (base + k >= n || !on_curve[e])
+                    binf = (__mmask8)(binf | (1u << k));
+            }
+            ifma::Fq8 X8, Y8;
+            ifma::load8(sx, X8);
+            ifma::load8(sy, Y8);
+            __mmask8 okm = subgroup_ladder8(X8, Y8, binf);
+            for (int k = 0; k < 8 && base + (uint64_t)k < n; ++k) {
+                uint64_t i = base + k;
+                if (on_curve[i] && !(okm & (1u << k))) flags[i] = 3;
+            }
+        }
+    } else
+#endif
+    {
+        uint8_t rbytes[32];
+        std::memcpy(rbytes, R_ORDER, 32);
+        for (uint64_t i = 0; i < n; ++i) {
+            if (!on_curve[i]) continue;
+            G1 t;
+            g1_mul(pts[i], rbytes, t);
+            if (!g1_is_inf(t)) flags[i] = 3;
+        }
+    }
+    for (uint64_t i = 0; i < n; ++i)
+        if (on_curve[i] && flags[i] == 0) store_g1(pts[i], out + 144 * i);
+}
+
+// points: n x 144-byte Jacobian canonical. flags[i]: 0 = in the prime-order
+// subgroup (infinity counts as in), 1 = not.
+void cp_subgroup_check(const uint8_t *points, uint64_t n, uint8_t *flags) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
+    batch_normalize(pts.data(), n);
+#if CP_HAVE_IFMA
+    if (!std::getenv("CP_NO_IFMA")) {
+        std::vector<Fq> bx(n), by(n);
+        std::vector<uint8_t> inf(n);
+        for (uint64_t i = 0; i < n; ++i) {
+            inf[i] = g1_is_inf(pts[i]);
+            if (inf[i]) { std::memset(bx[i].l, 0, 48); std::memset(by[i].l, 0, 48); }
+            else { bx[i] = pts[i].x; by[i] = pts[i].y; }
+        }
+        std::vector<u64> x52(((n + 7) / 8) * 64), y52(((n + 7) / 8) * 64);
+        convert_to52_batch(bx.data(), n, x52.data());
+        convert_to52_batch(by.data(), n, y52.data());
+        for (uint64_t base = 0; base < n; base += 8) {
+            const u64 *sx[8], *sy[8];
+            __mmask8 binf = 0;
+            for (int k = 0; k < 8; ++k) {
+                uint64_t e = base + (uint64_t)k < n ? base + k : base;
+                sx[k] = x52.data() + e * 8;
+                sy[k] = y52.data() + e * 8;
+                if (base + k >= n || inf[e])
+                    binf = (__mmask8)(binf | (1u << k));
+            }
+            ifma::Fq8 X8, Y8;
+            ifma::load8(sx, X8);
+            ifma::load8(sy, Y8);
+            __mmask8 okm = subgroup_ladder8(X8, Y8, binf);
+            for (int k = 0; k < 8 && base + (uint64_t)k < n; ++k)
+                flags[base + k] = (okm & (1u << k)) ? 0 : 1;
+        }
+        return;
+    }
+#endif
+    uint8_t rbytes[32];
+    std::memcpy(rbytes, R_ORDER, 32);
+    for (uint64_t i = 0; i < n; ++i) {
+        if (g1_is_inf(pts[i])) { flags[i] = 0; continue; }
+        G1 t;
+        g1_mul(pts[i], rbytes, t);
+        flags[i] = g1_is_inf(t) ? 0 : 1;
+    }
+}
+
+}  // extern "C"
+
 // ---- GLV scalar decomposition (batch, host-side) ----
 // Babai rounding k = k1 + k2*lambda with the short lattice basis; constants
 // (basis vectors, r, Barrett mu) are injected once from the Python module

@@ -15,6 +15,8 @@ __all__ = [
     "g1_to_bytes", "g1_from_bytes", "fr_to_bytes", "fr_from_bytes",
     "fr_from_le_bytes_mod_order", "fr_from_random_bytes", "vec_len_prefix",
     "SerializationError",
+    "g1_from_bytes_batch",
+    "deferred_subgroup_checks",
 ]
 
 
@@ -53,6 +55,53 @@ def g1_to_bytes(p: G1) -> bytes:
     return cb
 
 
+# When set (by `deferred_subgroup_checks`), decompressed points queue here
+# and their subgroup membership is verified in ONE batched native ladder at
+# context exit — proof deserialization decompresses ~90 points per proof.
+_DEFERRED: list | None = None
+
+
+class deferred_subgroup_checks:
+    """Context manager batching subgroup checks across many g1_from_bytes."""
+
+    def __enter__(self):
+        global _DEFERRED
+        self._prev = _DEFERRED
+        _DEFERRED = []
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        global _DEFERRED
+        pts, _DEFERRED = _DEFERRED, self._prev
+        if exc_type is not None:
+            return False
+        if not pts:
+            return False
+        try:
+            import ctypes
+
+            from . import native
+
+            lib = native.lib()
+            if lib is not None and hasattr(lib, "cp_subgroup_check"):
+                flags = ctypes.create_string_buffer(len(pts))
+                lib.cp_subgroup_check(native.pts_to_bytes(pts), len(pts),
+                                      flags)
+                if any(flags.raw):
+                    raise SerializationError(
+                        "point not in the prime-order subgroup")
+                return False
+        except SerializationError:
+            raise
+        except Exception:
+            pass
+        for pt in pts:
+            if not pt.is_in_correct_subgroup():
+                raise SerializationError(
+                    "point not in the prime-order subgroup")
+        return False
+
+
 def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:
     """Deserialize a ZCash-format compressed point; checks curve + subgroup."""
     if len(buf) != 48:
@@ -73,13 +122,54 @@ def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:
         raise SerializationError("x is not on the curve")
     y = ys[1] if flags & _SORT_FLAG else ys[0]
     p = G1.from_affine(x, y)
-    if validate and not p.is_in_correct_subgroup():
-        raise SerializationError("point not in the prime-order subgroup")
+    if validate:
+        if _DEFERRED is not None:
+            _DEFERRED.append(p)      # batch-checked when the context exits
+        elif not p.is_in_correct_subgroup():
+            raise SerializationError("point not in the prime-order subgroup")
     return p
 
 
 def fr_to_bytes(v: int) -> bytes:
     return (v % R).to_bytes(32, "little")
+
+
+_DECOMPRESS_FLAG_ERRORS = {
+    1: "malformed compressed encoding",
+    2: "x is not on the curve",
+    3: "point not in the prime-order subgroup",
+}
+
+
+def g1_from_bytes_batch(bufs: list[bytes], validate: bool = True) -> list[G1]:
+    """Decompress many 48-byte points; native batch path (IFMA sqrt + 8-wide
+    subgroup ladder, ~11x the per-point python path) when available."""
+    if validate and len(bufs) >= 4:
+        try:
+            import ctypes
+
+            from . import native
+
+            lib = native.lib()
+            if lib is not None and hasattr(lib, "cp_g1_decompress_validate"):
+                n = len(bufs)
+                for b in bufs:
+                    if len(b) != 48:
+                        raise SerializationError(
+                            "G1 compressed encoding must be 48 bytes")
+                out = ctypes.create_string_buffer(144 * n)
+                flags = ctypes.create_string_buffer(n)
+                lib.cp_g1_decompress_validate(b"".join(bufs), n, out, flags)
+                for i, f in enumerate(flags.raw):
+                    if f:
+                        raise SerializationError(
+                            f"point {i}: " + _DECOMPRESS_FLAG_ERRORS[f])
+                return native.pts_from_bytes(out.raw, n)
+        except SerializationError:
+            raise
+        except Exception:
+            pass
+    return [g1_from_bytes(b, validate=validate) for b in bufs]
 
 
 def fr_from_bytes(buf: bytes) -> int:

@@ -17,6 +17,7 @@ from .host.g1 import G1, GENERATOR
 from .host.rng import StdRng
 from .host.serde import (
     fr_from_bytes, fr_from_le_bytes_mod_order, fr_to_bytes, g1_from_bytes,
+    g1_from_bytes_batch, deferred_subgroup_checks,
     g1_to_bytes,
 )
 from .transcript import Transcript
@@ -127,9 +128,9 @@ class WhiskShuffleProof:
 
 
 def _unzip_trackers(trackers) -> tuple[list[G1], list[G1]]:
-    vec_r = [g1_from_bytes(t.r_G) for t in trackers]
-    vec_s = [g1_from_bytes(t.k_r_G) for t in trackers]
-    return vec_r, vec_s
+    both = g1_from_bytes_batch([t.r_G for t in trackers]
+                               + [t.k_r_G for t in trackers])
+    return both[: len(trackers)], both[len(trackers) :]
 
 
 def _zip_trackers(vec_r: list[G1], vec_s: list[G1]) -> list[WhiskTracker]:
@@ -165,7 +166,9 @@ def is_valid_whisk_shuffle_proof(
 ) -> bool:
     vec_r, vec_s = _unzip_trackers(pre_trackers)
     vec_t, vec_u = _unzip_trackers(post_trackers)
-    wsp = WhiskShuffleProof.deserialize(whisk_shuffle_proof_bytes, crs.log2_n())
+    with deferred_subgroup_checks():
+        wsp = WhiskShuffleProof.deserialize(whisk_shuffle_proof_bytes,
+                                            crs.log2_n())
     try:
         wsp.proof.verify(crs, vec_r, vec_s, vec_t, vec_u, wsp.M, rng)
         return True

@@ -36,6 +36,40 @@ def test_g1_codec_rejections():
     # (cofactor ~ 2^125, so a random curve point is almost surely outside G1)
 
 
+def test_deferred_subgroup_check_rejects():
+    """The batched deferred-check path must reject out-of-subgroup points."""
+    import curdleproofs_tpu.host.g1 as g1mod
+    from curdleproofs_tpu.host.g1 import G1
+    from curdleproofs_tpu.host.serde import deferred_subgroup_checks
+
+    xx, h_pt = 1, None
+    while h_pt is None:
+        ys = g1mod.get_ys_from_x(xx)
+        if ys:
+            cand = G1.from_affine(xx, ys[0])
+            if not cand.is_in_correct_subgroup():
+                h_pt = cand
+        xx += 1
+    bad = bytearray(h_pt.to_affine()[0].to_bytes(48, "big"))
+    bad[0] |= 0x80
+    with pytest.raises(SerializationError):
+        with deferred_subgroup_checks():
+            g1_from_bytes(bytes(bad))
+            for _ in range(5):
+                g1_from_bytes(g1_to_bytes(GENERATOR))
+
+
+def test_batch_decompress_rejects_bad_points():
+    from curdleproofs_tpu.host.serde import g1_from_bytes_batch
+
+    good = [g1_to_bytes(GENERATOR.mul(i + 1)) for i in range(6)]
+    assert len(g1_from_bytes_batch(good)) == 6
+    bad = bytearray(good[0])
+    bad[0] &= 0x7F                                   # drop compression flag
+    with pytest.raises(SerializationError):
+        g1_from_bytes_batch(good[:3] + [bytes(bad)] + good[3:])
+
+
 def test_fr_codec_rejections():
     with pytest.raises(SerializationError):
         fr_from_bytes(bytes(31))
