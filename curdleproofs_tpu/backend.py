@@ -1,5 +1,8 @@
 """Pluggable compute backend for the O(n) group math.
 
+Plays the role of the reference's rayon `parallel` feature (Cargo.toml:34,37):
+the one switch that decides where every hot vector primitive runs.
+
 The protocol layer is backend-agnostic: every hot vector primitive (MSM, batched
 scalar-mul, point folding) dispatches through the active backend. `HostBackend`
 is the latency-optimal pure-Python path for small n and the golden model;

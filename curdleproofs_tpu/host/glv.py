@@ -1,5 +1,9 @@
 """GLV endomorphism scalar decomposition for BLS12-381 G1.
 
+First-party replacement for the scalar-mul substrate inside arkworks `ark-ec`
+(the reference's every scalar mul, e.g. curdleproofs.rs:112-116, funnels
+there); the reference has no first-party GLV.
+
 G1 has the cube-root endomorphism phi(x, y) = (beta*x, y) with phi(P) =
 lambda*P for a primitive cube root of unity beta in Fq (lambda in Fr). Any
 scalar k splits as k = k1 + k2*lambda (mod r) with |k1|, |k2| ~ sqrt(r) ~
