@@ -17,7 +17,6 @@ the group law at import — no copied magic numbers.
 from __future__ import annotations
 
 from ..constants import Q, R
-from .field import fq_sqrt
 from .g1 import GENERATOR, G1
 
 __all__ = ["BETA", "LAMBDA", "decompose", "endo"]

@@ -8,7 +8,7 @@ generator bytes at `/root/reference/src/whisk.rs:364-368` and Fr round-trip at
 
 from __future__ import annotations
 
-from ..constants import CURVE_B, Q, R
+from ..constants import Q, R
 from .g1 import G1, get_ys_from_x
 
 __all__ = [

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 from ..backend import Backend
 from ..constants import R
 from ..host.g1 import G1
-from . import msm as msm_mod
 from .g1_ops import PointsXYZ, points_from_device, points_to_device
 from .limbs import ints_to_bits
 from .msm import NBITS, batch_mul_each_jit, batch_mul_jit, fold_jit, msm_jit

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import Q, R as FR_MOD
 
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1

@@ -18,7 +18,6 @@ from jax.sharding import Mesh
 from ..crs import CurdleproofsCrs
 from ..curdleproofs import CurdleproofsProof
 from ..errors import VerificationError
-from ..host.g1 import G1
 from ..host.rng import StdRng
 from ..msm_accumulator import MsmAccumulator
 from .sharded_msm import sharded_msm
