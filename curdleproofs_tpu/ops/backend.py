@@ -26,7 +26,7 @@ def _pad_pow2(n: int, floor: int = 8) -> int:
     return m
 
 
-class HybridBackend:
+class HybridBackend(Backend):
     """Latency ops on the native host runtime; big MSMs on the TPU Pippenger.
 
     The protocol's folding rounds and small sub-argument MSMs are
@@ -57,6 +57,12 @@ class HybridBackend:
 
     def fold_points(self, left, right, gamma):
         return self._host.fold_points(left, right, gamma)
+
+    def msm_many(self, groups):
+        return self._host.msm_many(groups)
+
+    def fold_points_each(self, left, right, scalars):
+        return self._host.fold_points_each(left, right, scalars)
 
 
 def auto_backend():
