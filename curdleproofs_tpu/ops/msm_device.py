@@ -1,26 +1,33 @@
-"""Fixed-shape device Pippenger MSM (the TPU flagship kernel).
+"""On-device Pippenger MSM — the TPU flagship kernel (v2).
 
-The previous device MSM (ops/msm_pippenger.py) tree-reduces per-bucket
-occupancy lists, which traces a distinct Pallas shape per tree level and per
-chunk — minutes of Mosaic compilation before the first run. This design keeps
-the ENTIRE device phase one `lax.scan` whose body is a single complete
-Jacobian add at one fixed shape, so exactly one kernel is compiled:
+The whole MSM runs in ONE jitted device program per (n, c) shape family:
+signed-digit recode, per-window bucket sort, slot-plan assembly, the Pallas
+bucket fold, slot merging, and the full bucket reduction.  The host uploads
+only the 32-byte scalars (bases ride a device-resident cache, see
+`prepare_bases`) and downloads W window sums (< 10 kB), then finishes with a
+W-term Horner ladder.  Replaces arkworks `VariableBaseMSM`
+(/root/reference/src/util.rs:19-22); this is the kernel behind BASELINE
+config 3 (the 2^10..2^20 sweep).
 
-- host (numpy): GLV-split every scalar into two <=2^128 halves (signs folded
-  into the point index), signed base-2^c digit recode, then a load-balanced
-  slot plan: each (window, bucket) owns ceil(occupancy / T) slots capped at T
-  entries, entries round-robin — so the scan depth is T regardless of digit
-  skew (the top carry window would otherwise put ~half the points in ONE
-  bucket; cf. the same fix in the host MSM, bls12_381.cpp).
-- device: extend points to [P, phi(P), -P, -phi(P), inf] (Jacobian, so no
-  normalisation needed), then scan T rows of gather+complete-add over all
-  slots at once. One XLA program, one Pallas g1_add shape.
-- host: download the S slot accumulators and finish with a small weighted
-  native MSM per window (weights = bucket values, < 2^(c-1)) and the Horner
-  window ladder.
-
-Replaces arkworks `VariableBaseMSM` on the device side (util.rs:19-22);
-this is the kernel behind BASELINE.json config 3 (the 2^10..2^20 sweep).
+Design notes (constraints measured on the target platform, round 2):
+- The host<->device link runs ~14 MB/s with ~33 ms per blocking sync, so the
+  v1 design (numpy plan built on host, 13-25 MB plan upload, per-slot
+  download) was transfer-bound: plan build + upload alone cost ~3 s at 2^16.
+  v2 transfers 32 B per scalar up and ~3 kB down.
+- No GLV on the device path: with signed base-2^c digits the bucket work is
+  the same either way (2n halves x ceil(129/c) windows ~= n x ceil(256/c)),
+  and skipping it avoids 128-bit rounding division on device.
+- Window size c is 8 or 16 ONLY.  Both are byte/limb aligned (digit = byte /
+  limb of the scalar), and both give a UNIFORM top window: the top digit
+  ranges over r>>248 = 115 (c=8) or r>>240 = 29677 (c=16) values.  Most
+  other c values concentrate the whole top window into a handful of buckets
+  (e.g. c=13 puts all n entries into <=232 of 4096 buckets), which blows up
+  the slot-merge depth.
+- Bucket occupancy is data-dependent, but every shape is static: buckets own
+  ceil(count/T) slots of T entries; the slot plan is built with sort + cumsum
+  + one scatter (searchsorted measured 400 ms at the needed sizes — avoided);
+  slots of one bucket merge with a masked Hillis-Steele suffix scan whose
+  round count is data-dependent via lax.while_loop (shapes stay static).
 """
 
 from __future__ import annotations
@@ -33,272 +40,446 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..constants import R
-from ..host import glv
+from ..constants import Q, R
 from ..host.g1 import G1
 from .field import FQ
 from .g1_ops import (
-    PointsXYZ, g1_add, g1_infinity, points_from_device, points_to_device,
+    PointsXYZ, _g1_add_jnp, g1_double, g1_infinity, points_to_device,
+    use_pallas,
 )
+from .limbs import int_to_limbs
 
-__all__ = ["build_plan_glv", "msm_device", "pick_window_device"]
+__all__ = ["DeviceBases", "msm_device", "pick_params", "pick_window_device",
+           "prepare_bases"]
 
-_LANE_PAD = 512  # slot axis padded to the Pallas block size
+_BIG = 1 << 30  # "unwritten" sentinel for scatter-built tables
+
+
+# --------------------------------------------------------------------------
+# parameters / shape families
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MsmParams:
+    """Static shape family of one MSM compile."""
+    n: int        # number of (point, scalar) pairs after padding
+    c: int        # window bits (8 or 16)
+    t_rows: int   # slot depth T (fold scan length), multiple of 8
+    s_pad: int    # slot count, multiple of 512, upper-bounds any occupancy
+
+    @property
+    def windows(self) -> int:
+        return -(-255 // self.c)
+
+    @property
+    def buckets(self) -> int:
+        return 1 << (self.c - 1)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pad_n(n: int) -> int:
+    """Round n up to a quarter-power-of-two so at most ~4 shape families per
+    octave get compiled (padding entries are zero scalars = dead digits)."""
+    if n <= 512:
+        return _round_up(n, 64)
+    p = 1 << (n.bit_length() - 1)
+    return _round_up(n, p // 4)
+
+
+def pick_params(n: int, c: int | None = None) -> MsmParams:
+    n = pad_n(n)
+    if c is None:
+        c = 8 if n < (1 << 18) else 16
+    if c not in (8, 16):
+        raise ValueError("device MSM supports c in {8, 16} only (see module "
+                         "docstring: other widths concentrate the top window)")
+    w = -(-255 // c)
+    b = 1 << (c - 1)
+    t = max(8, min(256, _round_up(max(1, n // (4 * b)), 8)))
+    entries = w * n
+    s_bound = min(w * b, entries) + entries // t + 1
+    return MsmParams(n, c, t, _round_up(s_bound, 512))
 
 
 def pick_window_device(n: int) -> int:
-    """Minimise device fold lanes (~40 ns each) + host combine (~6 us/slot)."""
-    best, bestc = float("inf"), 8
-    for c in range(6, 17):
-        w = -(-129 // c)
-        b = 1 << (c - 1)
-        entries = 2 * n * w
-        t = max(8, -(-2 * entries // (w * b)))
-        occupied = min(w * b, entries)
-        s = entries // t + occupied
-        cost = s * t * 40e-9 + s * 6e-6
-        if cost < best:
-            best, bestc = cost, c
-    return bestc
+    """Window size the device path will use for n points."""
+    return pick_params(n).c
 
 
-@dataclass
-class PlanGLV:
-    plan: np.ndarray          # [T, S] int32 indices into the extended points
-    slot_window: np.ndarray   # [S] int32
-    slot_weight: np.ndarray   # [S] int32 (bucket value, 0 = dead slot)
-    windows: int
-    c: int
-    n_points: int
-
-
-def _signed_digits(mags: np.ndarray, c: int) -> np.ndarray:
-    """mags: [m, 16] uint8 LE magnitudes < 2^128 -> signed digits [W, m]."""
-    m = mags.shape[0]
-    windows = -(-129 // c)
-    bits = np.unpackbits(mags, axis=1, bitorder="little")  # [m, 128]
-    need = windows * c
-    bits = np.pad(bits, ((0, 0), (0, need - 128)))
-    weights = (1 << np.arange(c)).astype(np.int64)
-    # window digit values via one BLAS matvec over the reshaped bit matrix
-    raw = (bits.reshape(-1, c).astype(np.int64) @ weights).reshape(m, windows)
-    half = 1 << (c - 1)
-    out = np.zeros((windows, m), dtype=np.int32)
-    carry = np.zeros(m, dtype=np.int64)
-    for w in range(windows):
-        v = raw[:, w] + carry
-        neg = v > half
-        out[w] = np.where(neg, v - (1 << c), v).astype(np.int32)
-        carry = neg.astype(np.int64)
-    return out
-
-
-def build_plan_glv(scalars: list[int], n_points: int, c: int) -> PlanGLV:
-    """Host-side load-balanced gather plan over GLV-split signed digits."""
-    n = len(scalars)
-    n2 = 2 * n
-    sentinel = 2 * n2  # index of the infinity row in the extended points
-    windows = -(-129 // c)
-    n_buckets = 1 << (c - 1)
-
-    db = glv.decompose_batch(scalars)
-    if db is not None:
-        k1s, negs1, k2s, negs2 = db
-        mags = np.frombuffer(k1s + k2s, dtype=np.uint8).reshape(n2, 16)
-        negs = np.frombuffer(negs1 + negs2, dtype=np.uint8)
-    else:
-        halves = [glv.decompose(s % R) for s in scalars]
-        buf = b"".join(abs(k1).to_bytes(16, "little") for k1, _ in halves) + \
-              b"".join(abs(k2).to_bytes(16, "little") for _, k2 in halves)
-        mags = np.frombuffer(buf, dtype=np.uint8).reshape(n2, 16)
-        negs = np.fromiter(
-            ((k1 < 0) for k1, _ in halves), dtype=np.uint8, count=n)
-        negs = np.concatenate([negs, np.fromiter(
-            ((k2 < 0) for _, k2 in halves), dtype=np.uint8, count=n)])
-    digits = _signed_digits(mags, c)  # [W, n2]
-
-    # entries: (key = window*B + |d|-1, ext index = pt + 2n * effective_neg)
-    keys, idxs = [], []
-    pt_idx = np.arange(n2, dtype=np.int64)
-    for w in range(windows):
-        d = digits[w]
-        nz = np.nonzero(d)[0]
-        if nz.size == 0:
-            continue
-        dv = d[nz]
-        eff_neg = (dv < 0).astype(np.int64) ^ negs[nz]
-        keys.append(w * n_buckets + np.abs(dv).astype(np.int64) - 1)
-        idxs.append(pt_idx[nz] + n2 * eff_neg)
-    if not keys:
-        return PlanGLV(np.full((1, _LANE_PAD), sentinel, np.int32),
-                       np.zeros(_LANE_PAD, np.int32),
-                       np.zeros(_LANE_PAD, np.int32), windows, c, n_points)
-    keys = np.concatenate(keys)
-    idxs = np.concatenate(idxs)
-    n_entries = keys.size
-
-    counts = np.bincount(keys, minlength=windows * n_buckets)
-    cap = max(8, -(-2 * n_entries // max(1, windows * n_buckets)))
-    cap = -(-cap // 8) * 8  # T must be a multiple of the kernel's row block
-    nslots_per_key = -(-counts // cap)
-    slot_base = np.concatenate([[0], np.cumsum(nslots_per_key)])
-    s_total = int(slot_base[-1])
-    s_pad = -(-max(s_total, 1) // _LANE_PAD) * _LANE_PAD
-
-    order = np.argsort(keys, kind="stable")
-    sorted_keys = keys[order]
-    sorted_idxs = idxs[order]
-    # position of each entry within its key run
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    pos = np.arange(n_entries, dtype=np.int64) - starts[sorted_keys]
-    slot = slot_base[sorted_keys] + pos // cap
-    row = pos % cap
-
-    plan = np.full((cap, s_pad), sentinel, dtype=np.int32)
-    plan[row, slot] = sorted_idxs.astype(np.int32)
-
-    slot_window = np.zeros(s_pad, dtype=np.int32)
-    slot_weight = np.zeros(s_pad, dtype=np.int32)
-    occupied = np.nonzero(nslots_per_key)[0]
-    for k in occupied:
-        sl = slice(slot_base[k], slot_base[k + 1])
-        slot_window[sl] = k // n_buckets
-        slot_weight[sl] = (k % n_buckets) + 1
-    return PlanGLV(plan, slot_window, slot_weight, windows, c, n_points)
-
+# --------------------------------------------------------------------------
+# device-resident bases
+# --------------------------------------------------------------------------
 
 @jax.jit
-def _extend_points(pts: PointsXYZ) -> PointsXYZ:
-    """[P] -> [P, phi(P), -P, -phi(P), inf] (Jacobian: phi = beta*X; -P = -Y)."""
-    beta = FQ.const(glv.BETA, (1,))  # [24, 1] broadcasts over the batch
-    xe = FQ.mul(pts.x, jnp.broadcast_to(beta, pts.x.shape))
+def _extend_pm(pts: PointsXYZ) -> PointsXYZ:
+    """[P] -> [P | -P | inf]: row i+n is -P_i (negated Y), row 2n is the
+    plan's dead-slot sentinel (the identity)."""
     yn = FQ.neg(pts.y)
     inf = g1_infinity((1,))
-    x = jnp.concatenate([pts.x, xe, pts.x, xe, inf.x], axis=1)
-    y = jnp.concatenate([pts.y, pts.y, yn, yn, inf.y], axis=1)
-    z = jnp.concatenate([pts.z, pts.z, pts.z, pts.z, inf.z], axis=1)
-    return PointsXYZ(x, y, z)
+    return PointsXYZ(
+        jnp.concatenate([pts.x, pts.x, inf.x], axis=1),
+        jnp.concatenate([pts.y, yn, inf.y], axis=1),
+        jnp.concatenate([pts.z, pts.z, inf.z], axis=1),
+    )
 
 
-@jax.jit
-def _bucket_scan(ext: PointsXYZ, plan: jnp.ndarray) -> PointsXYZ:
-    """plan: [T, S] -> slot accumulators [24, S]; ONE g1_add shape."""
-    s = plan.shape[1]
-    init = g1_infinity((s,))
+class DeviceBases:
+    """Bases uploaded once and kept device-resident as [P | -P | inf].
 
-    def step(buckets, row):
-        q = PointsXYZ(jnp.take(ext.x, row, axis=1),
-                      jnp.take(ext.y, row, axis=1),
-                      jnp.take(ext.z, row, axis=1))
-        return g1_add(buckets, q), None
+    Uploading n points costs ~96 B/point over a ~14 MB/s link plus host-side
+    packing, so repeated MSMs over the same bases (the dominant pattern: CRS
+    vectors) must reuse this object.  `msm_device` accepts it in place of the
+    point list.  The wrapped list is padded with the identity up to
+    `pad_n(len(points))`; identity rows absorb the padding scalars (zero).
+    """
 
-    buckets, _ = lax.scan(step, init, plan)
-    return buckets
+    def __init__(self, points: list[G1]):
+        self.n_real = len(points)
+        self.n = pad_n(len(points))
+        padded = points + [G1.infinity()] * (self.n - len(points))
+        self.ext = _extend_pm(points_to_device(padded))
 
 
-@jax.jit
-def _bucket_fold(ext: PointsXYZ, plan: jnp.ndarray) -> PointsXYZ:
-    """Same result as _bucket_scan via ONE pallas call: XLA pre-gathers all
-    [T, S] rows, the kernel loops the T accumulation steps internally, and the
-    outputs leave Montgomery form on-device (mont-mul by 1) so the host-side
-    decode is a cheap byte repack."""
-    def take(a):
-        return jnp.take(a, plan, axis=1)  # [24, T, S], the kernel's layout
+_BASES_CACHE: dict[int, tuple] = {}
 
-    from .limbs import int_to_limbs
-    from .pallas_kernels import g1_fold_rows_pallas
 
-    bx, by, bz = g1_fold_rows_pallas(take(ext.x), take(ext.y), take(ext.z))
+def prepare_bases(points: list[G1]) -> DeviceBases:
+    """Upload bases once per list OBJECT and cache device-side.
+
+    Contract: the cache is keyed on `id(points)` while holding a strong
+    reference to the exact list, so a given list object must not be mutated
+    after being passed here (protocol code never mutates base lists — they
+    are CRS fields or freshly built).  Pass the same list object to hit the
+    cache; pass a `DeviceBases` to `msm_device` to manage residency yourself.
+    """
+    key = id(points)
+    hit = _BASES_CACHE.get(key)
+    if hit is not None and hit[0] is points:
+        return hit[1]
+    db = DeviceBases(points)
+    if len(_BASES_CACHE) > 8:  # bound device memory held by the cache
+        _BASES_CACHE.clear()
+    _BASES_CACHE[key] = (points, db)
+    return db
+
+
+def _scalars_to_limbs(scalars: list[int], n_pad: int) -> np.ndarray:
+    """Canonical scalars -> [16, n_pad] uint32 of 16-bit limbs (32 B each)."""
+    buf = b"".join(
+        (s if 0 <= s < R else s % R).to_bytes(32, "little") for s in scalars)
+    le16 = np.frombuffer(buf, dtype="<u2").reshape(len(scalars), 16)
+    out = np.zeros((n_pad, 16), dtype=np.uint32)
+    out[: len(scalars)] = le16
+    return np.ascontiguousarray(out.T)
+
+
+# --------------------------------------------------------------------------
+# the pipeline (ONE jit per MsmParams shape family)
+# --------------------------------------------------------------------------
+
+def _dev_add(p: PointsXYZ, q: PointsXYZ, pallas: bool) -> PointsXYZ:
+    if pallas:
+        from .pallas_kernels import g1_add_pallas_flat
+
+        return g1_add_pallas_flat(p, q, p.x.shape[1:])
+    return _g1_add_jnp(p, q)
+
+
+def _take1(arr, idx):
+    """Gather columns of [L, N] with an any-shape index array via a FLAT
+    take (2-D index arrays send XLA:TPU down a pathological >3 min compile)."""
+    flat = jnp.take(arr, idx.reshape(-1), axis=1)
+    return flat.reshape(arr.shape[0], *idx.shape)
+
+
+def _tree_reduce_g(pts: PointsXYZ, w: int, g: int, pallas: bool) -> PointsXYZ:
+    """[24, w*g] viewed as [24, w, g] -> sum over g -> [24, w]."""
+    x, y, z = (a.reshape(a.shape[0], w, g) for a in pts)
+    while g > 1:
+        h = g // 2
+        a = PointsXYZ(x[..., :h].reshape(x.shape[0], -1),
+                      y[..., :h].reshape(y.shape[0], -1),
+                      z[..., :h].reshape(z.shape[0], -1))
+        b = PointsXYZ(x[..., h:g].reshape(x.shape[0], -1),
+                      y[..., h:g].reshape(y.shape[0], -1),
+                      z[..., h:g].reshape(z.shape[0], -1))
+        s = _dev_add(a, b, pallas)
+        x, y, z = (v.reshape(v.shape[0], w, h) for v in s)
+        g = h
+    return PointsXYZ(x[..., 0], y[..., 0], z[..., 0])
+
+
+def _signed_digits(limbs, n: int, c: int):
+    """[16, n] uint32 scalar limbs -> signed base-2^c digits [W, n] int32 in
+    [-2^(c-1), 2^(c-1)].  Requires scalars < r < 2^255 so the top window
+    absorbs the final carry (c=8: top raw digit <= r>>248 = 115; c=16:
+    <= r>>240 = 29677 — both leave headroom for +1)."""
+    w_cnt = -(-255 // c)
+    half = 1 << (c - 1)
+    if c == 16:
+        raw = limbs.astype(jnp.int32)
+    else:
+        lo = (limbs & 0xFF).astype(jnp.int32)
+        hi = (limbs >> 8).astype(jnp.int32)
+        raw = jnp.stack([lo, hi], axis=1).reshape(w_cnt, n)
+
+    def recode(carry, r):
+        v = r + carry
+        neg = v > half
+        return neg.astype(jnp.int32), jnp.where(neg, v - (1 << c), v)
+
+    _, digits = lax.scan(recode, jnp.zeros((n,), jnp.int32), raw)
+    return digits
+
+
+def _phase3_chunks(c: int) -> tuple[int, int]:
+    """Bucket-reduction chunking (G chunks of Cb buckets; W*G mult of 512)."""
+    if c == 8:
+        return 16, 8     # G, Cb: W*G = 32*16 = 512
+    return 2048, 16      # W*G = 16*2048 = 32768
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "c", "t_rows", "s_pad", "pallas"))
+def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
+    """limbs: [16, n] uint32 scalar limbs -> [3, 24, W] canonical projective
+    window sums (host finishes with the W-term Horner ladder)."""
+    w_cnt = -(-255 // c)
+    b_cnt = 1 << (c - 1)
+    wb = w_cnt * b_cnt
+    g_chunks, cb = _phase3_chunks(c)
+    wg = w_cnt * g_chunks
+
+    # -- 1+2. signed base-2^c digits [W, n] -------------------------------
+    digits = _signed_digits(limbs, n, c)
+
+    # -- 3. bucket keys + extended-point indices --------------------------
+    live = digits != 0
+    key = jnp.where(live, jnp.abs(digits) - 1, b_cnt)
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    eidx = jnp.where(digits < 0, idx + n, idx) + jnp.zeros_like(key)
+
+    # -- 4. per-window bucket sort ----------------------------------------
+    key_s, e_s = lax.sort((key, eidx), dimension=1, num_keys=1)
+    live_s = key_s < b_cnt
+
+    # -- 5. slot assignment: bucket owns ceil(count/T) slots of T entries --
+    p = lax.broadcasted_iota(jnp.int32, (w_cnt, n), 1)
+    bd = jnp.concatenate(
+        [jnp.ones((w_cnt, 1), bool), key_s[:, 1:] != key_s[:, :-1]], axis=1)
+    run_start = lax.cummax(jnp.where(bd, p, 0), axis=1)
+    r_in_run = p - run_start
+    newslot = live_s & (r_in_run % t_rows == 0)
+    slot_in_w = jnp.cumsum(newslot.astype(jnp.int32), axis=1) - 1
+    slots_per_w = slot_in_w[:, -1] + 1
+    w_off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(slots_per_w)[:-1]])
+    gslot = jnp.where(live_s & (slot_in_w >= 0),
+                      slot_in_w + w_off[:, None], -1)
+
+    # -- 6. slot tables (ONE scatter; gathers elsewhere) -------------------
+    p_flat = (p + jnp.arange(w_cnt, dtype=jnp.int32)[:, None] * n).reshape(-1)
+    scat = jnp.where(newslot, gslot, s_pad).reshape(-1)
+    slot_pos = jnp.full((s_pad,), _BIG, jnp.int32).at[scat].set(
+        p_flat, mode="drop")
+    slot_alive = slot_pos < _BIG
+    gkey_flat = jnp.where(
+        live_s, key_s + jnp.arange(w_cnt, dtype=jnp.int32)[:, None] * b_cnt,
+        wb + 7).reshape(-1)
+    slot_gkey = jnp.where(
+        slot_alive,
+        jnp.take(gkey_flat, jnp.minimum(slot_pos, w_cnt * n - 1)), wb + 9)
+
+    # -- 7. fold plan [T, s_pad] into the extended points ------------------
+    gslot_flat = gslot.reshape(-1)
+    e_flat = e_s.reshape(-1)
+    pos = slot_pos[None, :] + lax.broadcasted_iota(
+        jnp.int32, (t_rows, s_pad), 0)
+    pos_c = jnp.minimum(pos, w_cnt * n - 1).reshape(-1)
+    s_iota = lax.broadcasted_iota(jnp.int32, (t_rows, s_pad), 1)
+    valid = jnp.take(gslot_flat, pos_c).reshape(t_rows, s_pad) == s_iota
+    plan = jnp.where(valid, jnp.take(e_flat, pos_c).reshape(t_rows, s_pad),
+                     2 * n)
+
+    # -- 8. bucket fold (the hot kernel) -----------------------------------
+    if pallas:
+        from .pallas_kernels import g1_fold_rows_pallas
+
+        gx = _take1(ext_x, plan)
+        gy = _take1(ext_y, plan)
+        gz = _take1(ext_z, plan)
+        acc = PointsXYZ(*g1_fold_rows_pallas(gx, gy, gz))
+    else:
+        def fold_step(a, row):
+            q = PointsXYZ(jnp.take(ext_x, row, axis=1),
+                          jnp.take(ext_y, row, axis=1),
+                          jnp.take(ext_z, row, axis=1))
+            return _g1_add_jnp(a, q), None
+
+        acc, _ = lax.scan(fold_step, g1_infinity((s_pad,)), plan)
+
+    # -- 9. merge slots of equal bucket (masked Hillis-Steele suffix scan;
+    #       rounds data-dependent via while_loop, shapes static) -----------
+    kmax = jnp.max(jnp.where(live_s, r_in_run // t_rows, 0)) + 1
+    sidx = jnp.arange(s_pad, dtype=jnp.int32)
+
+    def mbody(st):
+        stride, ax, ay, az = st
+        partner = jnp.minimum(sidx + stride, s_pad - 1)
+        same = (jnp.take(slot_gkey, partner) == slot_gkey) \
+            & (sidx + stride < s_pad)
+        cur = PointsXYZ(ax, ay, az)
+        q = PointsXYZ(jnp.take(ax, partner, axis=1),
+                      jnp.take(ay, partner, axis=1),
+                      jnp.take(az, partner, axis=1))
+        s = _dev_add(cur, q, pallas)
+        return (stride * 2,
+                jnp.where(same[None], s.x, ax),
+                jnp.where(same[None], s.y, ay),
+                jnp.where(same[None], s.z, az))
+
+    _, mx, my, mz = lax.while_loop(
+        lambda st: st[0] < kmax, mbody, (jnp.int32(1), *acc))
+
+    # -- 10. dense buckets, laid out [24, Cb, W*G] for the reduction -------
+    first = slot_alive & jnp.concatenate(
+        [jnp.ones(1, bool), slot_gkey[1:] != slot_gkey[:-1]])
+    firstmap = jnp.full((wb,), _BIG, jnp.int32).at[
+        jnp.where(first, slot_gkey, wb)].set(sidx, mode="drop")
+    j_i = lax.broadcasted_iota(jnp.int32, (cb, wg), 0)
+    wg_i = lax.broadcasted_iota(jnp.int32, (cb, wg), 1)
+    kk = (wg_i // g_chunks) * b_cnt + (wg_i % g_chunks) * cb + j_i
+    sel = jnp.take(firstmap, kk.reshape(-1)).reshape(cb, wg)
+    occ = (sel < _BIG)[None]
+    sel_c = jnp.minimum(sel, s_pad - 1)
+    one_m = FQ.const(1, (1, 1))
+    dense = PointsXYZ(
+        jnp.where(occ, _take1(mx, sel_c), 0),
+        jnp.where(occ, _take1(my, sel_c), one_m),
+        jnp.where(occ, _take1(mz, sel_c), 0))
+
+    # -- 11. bucket reduction: sum_b (b+1) * bucket_b per window -----------
+    if pallas:
+        from .pallas_kernels import g1_suffix_weighted_pallas
+
+        tg, lw = g1_suffix_weighted_pallas(*dense)
+        tg = PointsXYZ(*tg)
+        lw = PointsXYZ(*lw)
+    else:
+        def p3_step(i, st):
+            suf, wsum = st
+            j = cb - 1 - i
+            q = PointsXYZ(
+                lax.dynamic_index_in_dim(dense.x, j, 1, keepdims=False),
+                lax.dynamic_index_in_dim(dense.y, j, 1, keepdims=False),
+                lax.dynamic_index_in_dim(dense.z, j, 1, keepdims=False))
+            suf = _g1_add_jnp(suf, q)
+            return suf, _g1_add_jnp(wsum, suf)
+
+        tg, lw = lax.fori_loop(
+            0, cb, p3_step, (g1_infinity((wg,)), g1_infinity((wg,))))
+
+    # Hillis-Steele suffix over chunks g within each window: U_g = sum_{h>=g} T_h
+    wgidx = jnp.arange(wg, dtype=jnp.int32)
+    gpos = wgidx % g_chunks
+    u = tg
+    stride = 1
+    while stride < g_chunks:
+        partner = jnp.minimum(wgidx + stride, wg - 1)
+        mask = (gpos + stride < g_chunks)[None]
+        q = PointsXYZ(jnp.take(u.x, partner, axis=1),
+                      jnp.take(u.y, partner, axis=1),
+                      jnp.take(u.z, partner, axis=1))
+        s = _dev_add(u, q, pallas)
+        u = PointsXYZ(jnp.where(mask, s.x, u.x),
+                      jnp.where(mask, s.y, u.y),
+                      jnp.where(mask, s.z, u.z))
+        stride *= 2
+
+    usum = _tree_reduce_g(u, w_cnt, g_chunks, pallas)
+    lwsum = _tree_reduce_g(lw, w_cnt, g_chunks, pallas)
+    u0 = PointsXYZ(u.x.reshape(-1, w_cnt, g_chunks)[..., 0],
+                   u.y.reshape(-1, w_cnt, g_chunks)[..., 0],
+                   u.z.reshape(-1, w_cnt, g_chunks)[..., 0])
+    # sum_g g*T_g = sum_{g>=1} U_g = usum - u0 ; window = lwsum + Cb*(that)
+    s2 = _dev_add(usum, PointsXYZ(u0.x, FQ.neg(u0.y), u0.z), pallas)
+    k = cb
+    while k > 1:
+        s2 = g1_double(s2)
+        k //= 2
+    wsum = _dev_add(lwsum, s2, pallas)
+
+    # -- 12. leave Montgomery form on device ------------------------------
     one_plain = jnp.asarray(int_to_limbs(1, FQ.L)).reshape(FQ.L, 1)
-    return PointsXYZ(FQ.mul(bx, one_plain), FQ.mul(by, one_plain),
-                     FQ.mul(bz, one_plain))
+    return jnp.stack([FQ.mul(wsum.x, one_plain), FQ.mul(wsum.y, one_plain),
+                      FQ.mul(wsum.z, one_plain)])
 
+
+# --------------------------------------------------------------------------
+# host wrapper
+# --------------------------------------------------------------------------
 
 def _decode_canonical(arr) -> list[int]:
-    """[L, S] canonical 16-bit limbs (uint32 lanes) -> python ints, vectorised."""
+    """[L, S] canonical 16-bit limbs (uint32 lanes) -> python ints."""
     a = np.asarray(arr).astype(np.uint16).T  # [S, L] little-endian halfwords
-    rows = np.ascontiguousarray(a).view(np.uint8)  # [S, 2L]
+    rows = np.ascontiguousarray(a).view(np.uint8)
     return [int.from_bytes(r.tobytes(), "little") for r in rows]
 
 
-def _points_from_canonical(p: PointsXYZ) -> list[G1]:
-    """Canonical projective limb arrays -> host G1 list (affine via X/Z)."""
-    from ..constants import Q
+def _window_sums_to_host(out: np.ndarray) -> list[G1]:
+    """[3, 24, W] canonical projective -> host G1 list."""
     from ..host.field import batch_inversion
 
-    xs = _decode_canonical(p.x)
-    ys = _decode_canonical(p.y)
-    zs = _decode_canonical(p.z)
+    xs = _decode_canonical(out[0])
+    ys = _decode_canonical(out[1])
+    zs = _decode_canonical(out[2])
     zinvs = batch_inversion(zs, Q)
-    out = []
+    pts = []
     for x, y, z, zi in zip(xs, ys, zs, zinvs):
         if z == 0:
-            out.append(G1.infinity())
+            pts.append(G1.infinity())
         else:
-            out.append(G1.from_affine(x * zi % Q, y * zi % Q))
-    return out
+            pts.append(G1.from_affine(x * zi % Q, y * zi % Q))
+    return pts
 
 
-_EXT_CACHE: dict[int, tuple] = {}  # id(points) -> (the list itself, ext)
-
-
-def _ext_points_cached(points: list[G1]) -> PointsXYZ:
-    """Upload + extend once per points-list OBJECT; the dominant real-world
-    pattern is many MSMs over the same bases (the CRS), and the upload of
-    n x 288 B dwarfs everything else at large n. The cache keeps a strong
-    reference to the exact list object, so the id() key cannot be reused by
-    a different list while the entry lives; `is` confirms identity. NOTE:
-    callers must not mutate a list after passing it here (protocol code
-    never does — base lists are CRS fields or freshly built)."""
-    key = id(points)
-    hit = _EXT_CACHE.get(key)
-    if hit is not None and hit[0] is points:
-        return hit[1]
-    ext = _extend_points(points_to_device(points))
-    if len(_EXT_CACHE) > 8:  # bound device memory held by the cache
-        _EXT_CACHE.clear()
-    _EXT_CACHE[key] = (points, ext)
-    return ext
-
-
-def msm_device(points: list[G1], scalars: list[int],
+def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
                c: int | None = None) -> G1:
-    """Device bucket phase (one pallas call) + host weighted combine."""
-    n = len(points)
-    if n == 0:
-        return G1.infinity()
-    if c is None:
-        c = pick_window_device(n)
-    plan = build_plan_glv(scalars, n, c)
-    ext = _ext_points_cached(points)
-    from .g1_ops import use_pallas
+    """Device MSM: one jitted pipeline call + a W-term host Horner ladder.
 
-    if use_pallas():
-        buckets = _bucket_fold(ext, jnp.asarray(plan.plan))
-        host_buckets = _points_from_canonical(buckets)
-    else:  # CPU/test path: plain scan + jnp group law
-        buckets = _bucket_scan(ext, jnp.asarray(plan.plan))
-        host_buckets = points_from_device(buckets)
+    `points` may be a DeviceBases (preferred for repeated MSMs over the same
+    bases) or a plain list (uploaded through the `prepare_bases` id-cache).
+    """
+    if isinstance(points, DeviceBases):
+        bases = points
+        n_real = bases.n_real
+    else:
+        n_real = len(points)
+        if n_real == 0:
+            return G1.infinity()
+        bases = prepare_bases(points)
+    if len(scalars) != n_real:
+        raise ValueError("points/scalars length mismatch")
+    params = pick_params(bases.n_real, c)
+    assert params.n == bases.n, "bases padded under a different shape family"
+    limbs = jnp.asarray(_scalars_to_limbs(scalars, params.n))
+    out = _msm_pipeline(
+        bases.ext.x, bases.ext.y, bases.ext.z, limbs,
+        n=params.n, c=params.c, t_rows=params.t_rows, s_pad=params.s_pad,
+        pallas=use_pallas())
+    win = _window_sums_to_host(np.asarray(out))
 
     from ..host import native
 
-    use_native = native.available()
+    c_bits = params.c
+    if native.available() and len(win) >= 2:
+        return native.msm(win, [1 << (c_bits * w) for w in range(len(win))])
     acc = G1.infinity()
-    for w in range(plan.windows - 1, -1, -1):
-        for _ in range(c):
+    for w in range(len(win) - 1, -1, -1):
+        for _ in range(c_bits):
             acc = acc.double()
-        sel = np.nonzero(plan.slot_window == w)[0]
-        live = [i for i in sel if plan.slot_weight[i] > 0
-                and host_buckets[i].z != 0]
-        if not live:
-            continue
-        wpts = [host_buckets[i] for i in live]
-        wss = [int(plan.slot_weight[i]) for i in live]
-        if use_native and len(wpts) >= 2:
-            s_w = native.msm(wpts, wss)
-        else:
-            s_w = G1.infinity()
-            for p, s in zip(wpts, wss):
-                s_w = s_w.add(p.mul(s))
-        acc = acc.add(s_w)
+        acc = acc.add(win[w])
     return acc

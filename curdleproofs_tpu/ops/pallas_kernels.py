@@ -117,8 +117,12 @@ def _k_sub(a, b):
 
 
 def _k_mul_b3(a):
-    b3 = [jnp.full_like(a[0], _B3_MONT[i]) for i in range(L)]
-    return _k_mul(a, b3)
+    """a * 3b = a * 12 mod p via 4 modular adds (8a + 4a) — ~17x cheaper than
+    the full 24x24 Montgomery product a previous revision used here."""
+    a2 = _k_add(a, a)
+    a4 = _k_add(a2, a2)
+    a8 = _k_add(a4, a4)
+    return _k_add(a8, a4)
 
 
 def _k_g1_add(p, q):
@@ -293,6 +297,56 @@ def g1_fold_rows_pallas(x, y, z):
         in_specs=[spec_in] * 3,
         out_specs=(spec_out, spec_out, spec_out),
     )(x, y, z)
+
+
+def _g1_suffix_weighted_kernel(cb, x_ref, y_ref, z_ref,
+                               otx, oty, otz, owx, owy, owz):
+    """Per lane: suffix-accumulate cb bucket points (high bucket first) and
+    the running sum of suffixes.  For bucket chunk P_0..P_{cb-1} this yields
+      total    = sum_j P_j
+      weighted = sum_j (j+1) * P_j
+    which is the Pippenger bucket-reduction inner step (one chunk of a
+    window's buckets), all in ONE pallas call per MSM."""
+    width = x_ref.shape[2]
+    inf_x = [jnp.zeros((width,), jnp.uint32) for _ in range(L)]
+    inf_y = [jnp.full((width,), _ONE_MONT[i], jnp.uint32) for i in range(L)]
+    inf_z = [jnp.zeros((width,), jnp.uint32) for _ in range(L)]
+
+    def body(i, st):
+        sufx, sufy, sufz, wx, wy, wz = st
+        j = cb - 1 - i
+        q = ([x_ref[l, j, :] for l in range(L)],
+             [y_ref[l, j, :] for l in range(L)],
+             [z_ref[l, j, :] for l in range(L)])
+        suf = _k_g1_add((sufx, sufy, sufz), q)
+        w = _k_g1_add((wx, wy, wz), suf)
+        return (*suf, *w)
+
+    st = jax.lax.fori_loop(0, cb, body,
+                           (inf_x, inf_y, inf_z, inf_x, inf_y, inf_z))
+    _store_point((otx, oty, otz), st[:3])
+    _store_point((owx, owy, owz), st[3:])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def g1_suffix_weighted_pallas(x, y, z):
+    """x, y, z: [L, Cb, WG] (WG mult of 512) -> (total, weighted) each a
+    3-tuple of [L, WG] arrays (Montgomery form)."""
+    _, cb, wg = x.shape
+    spec_in = pl.BlockSpec((L, cb, _BLOCK), lambda i: (0, 0, i),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((L, _BLOCK), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((L, wg), jnp.uint32)
+                      for _ in range(6))
+    outs = pl.pallas_call(
+        functools.partial(_g1_suffix_weighted_kernel, cb),
+        out_shape=out_shape,
+        grid=(wg // _BLOCK,),
+        in_specs=[spec_in] * 3,
+        out_specs=(spec_out,) * 6,
+    )(x, y, z)
+    return outs[:3], outs[3:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
