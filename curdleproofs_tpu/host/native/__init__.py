@@ -74,7 +74,8 @@ def lib() -> ctypes.CDLL | None:
                                   ctypes.c_uint64, ctypes.c_char_p,
                                   ctypes.c_uint64, ctypes.c_uint64],
         "cp_g1_decompress_validate": [ctypes.c_char_p, ctypes.c_uint64,
-                                      ctypes.c_char_p, ctypes.c_char_p],
+                                      ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.c_uint64],
         "cp_subgroup_check": [ctypes.c_char_p, ctypes.c_uint64,
                               ctypes.c_char_p],
     }.items():

@@ -2592,36 +2592,72 @@ void pow_q14_8(const ifma::Fq8 &base, ifma::Fq8 &out) {
     out = acc;
 }
 
-// [r] * (affine base) for 8 lanes; returns mask of lanes where the result is
-// the identity (i.e. the base is in the prime-order subgroup). Unsigned
-// window-4 ladder with shared digits (r is public and fixed).
-__mmask8 subgroup_ladder8(const ifma::Fq8 &bx, const ifma::Fq8 &by,
-                          __mmask8 binf) {
+// Endomorphism G1-membership test for 8 lanes of affine points (M. Scott,
+// "A note on group membership tests for G1, G2 and GT", ePrint 2021/1130;
+// the same test blst ships):  P in G1  <=>  phi(P) == lambda*P with
+// phi(x,y) = (beta*x, y) and lambda = -z^2 mod r (z the BLS parameter, and
+// the beta/lambda pairing this library uses — see host/glv.py).  So check
+// phi(P) + z^2*P == O via Q = |z|*(|z|*P):  beta*x*Qz^2 == Qx  and
+// y*Qz^3 == -Qy.  ~126 doublings + 12 adds, vs ~252 dbl + 70 add for the
+// [r]P ladder this replaces (the reference relies on arkworks'
+// is_in_correct_subgroup_assuming_on_curve, whisk.rs:265-341 path).
+__mmask8 subgroup_endo8(const ifma::Fq8 &bx, const ifma::Fq8 &by,
+                        __mmask8 binf) {
     using namespace ifma;
     Fq8 one, zero;
     broadcast8(ONE_MONT52, one);
     set_zero8(zero);
-    Jac8 tab[15];
-    tab[0].X = bx;
-    tab[0].Y = by;
-    select8(binf, zero, one, tab[0].Z);
-    for (int i = 1; i < 15; ++i) {  // tab[i] = (i+1) * P
-        if (i % 2 == 1) { tab[i] = tab[i / 2]; dbl_jac8(tab[i]); }
-        else { tab[i] = tab[i - 1]; add_jac8(tab[i], tab[0]); }
+    Jac8 q;
+    q.X = bx;
+    q.Y = by;
+    select8(binf, zero, one, q.Z);
+    const uint64_t Z_ABS = 0xd201000000010000ULL;  // |z|, top bit 63
+    for (int pass = 0; pass < 2; ++pass) {  // q = |z| * (|z| * P)
+        Jac8 src = q;
+        Jac8 acc = src;
+        for (int b = 62; b >= 0; --b) {
+            dbl_jac8(acc);
+            if ((Z_ABS >> b) & 1) add_jac8(acc, src);
+        }
+        q = acc;
     }
-    Jac8 acc;
-    set_inf_jac8(acc);
-    bool started = false;
-    for (int w = 63; w >= 0; --w) {
-        if (started)
-            for (int s = 0; s < 4; ++s) dbl_jac8(acc);
-        unsigned d = (unsigned)((R_ORDER[w / 16] >> (4 * (w % 16))) & 0xf);
-        if (d) { started = true; add_jac8(acc, tab[d - 1]); }
-    }
-    return is_zero8(acc.Z);
+    Fq8 beta, zz, zzz, phix, lx, ly, ynegq;
+    broadcast8(BETA_MONT52, beta);
+    sqr8(q.Z, zz);
+    montmul8(zz, q.Z, zzz);
+    montmul8(beta, bx, phix);
+    montmul8(phix, zz, lx);
+    montmul8(by, zzz, ly);
+    neg8(q.Y, ynegq);
+    // q == O with P != O means ord(P) | z^2, coprime to r: not in G1.
+    __mmask8 ok = (__mmask8)(eq8(lx, q.X) & eq8(ly, ynegq)
+                             & (__mmask8)~is_zero8(q.Z));
+    return (__mmask8)(binf | ok);
 }
 
 #endif  // CP_HAVE_IFMA
+
+// Scalar (non-IFMA) twin of subgroup_endo8 for one affine point (z = 1 in
+// Montgomery form); same math, 64-bit limb arithmetic.
+bool subgroup_endo_scalar(const G1 &p) {
+    if (g1_is_inf(p)) return true;
+    static const uint8_t Z2_LE[32] = {  // z^2 = 0xac45a4010001a4020000000100000000
+        0, 0, 0, 0, 1, 0, 0, 0,
+        0x02, 0xa4, 0x01, 0x00, 0x01, 0xa4, 0x45, 0xac,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+    G1 q;
+    g1_mul(p, Z2_LE, q);
+    if (g1_is_inf(q)) return false;
+    Fq beta, zz, zzz, phix, lx, ly, ynegq;
+    std::memcpy(beta.l, BETA_MONT, 48);
+    fq_sqr(q.z, zz);
+    fq_mul(zz, q.z, zzz);
+    fq_mul(beta, p.x, phix);
+    fq_mul(phix, zz, lx);
+    fq_mul(p.y, zzz, ly);
+    fq_neg(q.y, ynegq);
+    return !std::memcmp(lx.l, q.x.l, 48) && !std::memcmp(ly.l, ynegq.l, 48);
+}
 
 }  // namespace
 
@@ -2630,8 +2666,10 @@ extern "C" {
 // comp: n x 48-byte compressed points. out: n x 144-byte Jacobian canonical.
 // flags[i]: 0 = valid, 1 = malformed encoding, 2 = x not on curve,
 // 3 = not in the prime-order subgroup. Infinity decodes valid with z = 0.
+// check_subgroup = 0 skips the (deferrable) subgroup test — callers batch it
+// separately via cp_subgroup_check so 8-wide lanes stay full.
 void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
-                               uint8_t *flags) {
+                               uint8_t *flags, uint64_t check_subgroup) {
     // parse + x^3 + 4 (Montgomery domain)
     std::vector<Fq> xs(n), ts(n);          // x, x^3+4
     std::vector<uint8_t> inf(n, 0), sort_flag(n, 0);
@@ -2736,6 +2774,11 @@ void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
         on_curve[i] = 1;
     }
     // subgroup checks
+    if (!check_subgroup) {
+        for (uint64_t i = 0; i < n; ++i)
+            if (on_curve[i] && flags[i] == 0) store_g1(pts[i], out + 144 * i);
+        return;
+    }
 #if CP_HAVE_IFMA
     if (use_ifma) {
         std::vector<Fq> bx(n), by(n);
@@ -2759,7 +2802,7 @@ void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
             ifma::Fq8 X8, Y8;
             ifma::load8(sx, X8);
             ifma::load8(sy, Y8);
-            __mmask8 okm = subgroup_ladder8(X8, Y8, binf);
+            __mmask8 okm = subgroup_endo8(X8, Y8, binf);
             for (int k = 0; k < 8 && base + (uint64_t)k < n; ++k) {
                 uint64_t i = base + k;
                 if (on_curve[i] && !(okm & (1u << k))) flags[i] = 3;
@@ -2768,14 +2811,8 @@ void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
     } else
 #endif
     {
-        uint8_t rbytes[32];
-        std::memcpy(rbytes, R_ORDER, 32);
-        for (uint64_t i = 0; i < n; ++i) {
-            if (!on_curve[i]) continue;
-            G1 t;
-            g1_mul(pts[i], rbytes, t);
-            if (!g1_is_inf(t)) flags[i] = 3;
-        }
+        for (uint64_t i = 0; i < n; ++i)
+            if (on_curve[i] && !subgroup_endo_scalar(pts[i])) flags[i] = 3;
     }
     for (uint64_t i = 0; i < n; ++i)
         if (on_curve[i] && flags[i] == 0) store_g1(pts[i], out + 144 * i);
@@ -2812,21 +2849,15 @@ void cp_subgroup_check(const uint8_t *points, uint64_t n, uint8_t *flags) {
             ifma::Fq8 X8, Y8;
             ifma::load8(sx, X8);
             ifma::load8(sy, Y8);
-            __mmask8 okm = subgroup_ladder8(X8, Y8, binf);
+            __mmask8 okm = subgroup_endo8(X8, Y8, binf);
             for (int k = 0; k < 8 && base + (uint64_t)k < n; ++k)
                 flags[base + k] = (okm & (1u << k)) ? 0 : 1;
         }
         return;
     }
 #endif
-    uint8_t rbytes[32];
-    std::memcpy(rbytes, R_ORDER, 32);
-    for (uint64_t i = 0; i < n; ++i) {
-        if (g1_is_inf(pts[i])) { flags[i] = 0; continue; }
-        G1 t;
-        g1_mul(pts[i], rbytes, t);
-        flags[i] = g1_is_inf(t) ? 0 : 1;
-    }
+    for (uint64_t i = 0; i < n; ++i)
+        flags[i] = subgroup_endo_scalar(pts[i]) ? 0 : 1;
 }
 
 }  // extern "C"

@@ -7,9 +7,11 @@ rides the 128-wide lane dimension, so elementwise limb ops waste nothing
 
 Montgomery-form CIOS multiplication with uint32 lanes only: every limb product
 fits uint32 exactly and column sums stay < 2^24 — no 64-bit emulation (TPU has
-no native int64 multiply). Limb recurrences are lax.scan/fori_loop bodies: the
-unrolled graph takes XLA minutes to compile; the unrolled form lives in the
-Pallas kernels (ops/pallas_kernels.py) where Mosaic compiles it in seconds.
+no native int64 multiply). The multiply is a fully-unrolled straight-line
+graph over per-limb rows (`mul_rows`); the Pallas kernels run the SAME row
+functions inside Mosaic.  (Loop-based formulations with dynamic slices were
+dropped: their jaxpr->MLIR lowering was ~150 s per shape on the target
+platform; see FieldSpec.mul.)
 
 Replaces arkworks `ark-ff` (x86 asm Montgomery limbs,
 `/root/reference/Cargo.toml:24,35`); bit-exact vs the host Python-int field.
@@ -26,9 +28,70 @@ from jax import lax
 from ..constants import Q
 from .limbs import FQ_LIMBS, LIMB_BITS, LIMB_MASK, int_to_limbs
 
-__all__ = ["FieldSpec", "FQ"]
+__all__ = ["FieldSpec", "FQ", "carry_rows", "cond_sub_rows", "mul_rows"]
 
 _MASK = jnp.uint32(LIMB_MASK)
+
+
+# --- row-list kernels: straight-line limb math shared with Pallas ----------
+# Operands are python lists of [*batch]-shaped uint32 rows (limb-major with
+# the limb axis unrolled into the graph).  Constants are python ints so the
+# same code traces inside Pallas kernels (jnp scalars would be captured
+# consts there).
+
+def carry_rows(cols):
+    """Full carry propagation over K rows; returns K rows + final carry."""
+    out = []
+    c = jnp.zeros_like(cols[0])
+    for col in cols:
+        t = col + c
+        out.append(t & LIMB_MASK)
+        c = t >> LIMB_BITS
+    return out, c
+
+
+def cond_sub_rows(rows, p_rows):
+    """rows (< 2p) -> canonical < p."""
+    n = len(rows)
+    borrow = jnp.zeros_like(rows[0], dtype=jnp.int32)
+    sub = []
+    for i in range(n):
+        t = rows[i].astype(jnp.int32) - p_rows[i] + borrow
+        sub.append((t & LIMB_MASK).astype(jnp.uint32))
+        borrow = t >> LIMB_BITS
+    geq = borrow == 0
+    return [jnp.where(geq, s, r) for s, r in zip(sub, rows)]
+
+
+def mul_rows(a, b, p_rows, n0_inv):
+    """Montgomery product of two L-row lists -> L rows (canonical < p)."""
+    L = len(a)
+    cols = [None] * (2 * L)
+    for i in range(L):
+        for j in range(L):
+            prod = a[i] * b[j]
+            lo = prod & LIMB_MASK
+            hi = prod >> LIMB_BITS
+            k = i + j
+            cols[k] = lo if cols[k] is None else cols[k] + lo
+            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
+    # CIOS reduction
+    carry = jnp.zeros_like(a[0])
+    for i in range(L):
+        t = cols[i] + carry
+        m = (t * n0_inv) & LIMB_MASK
+        mp0 = m * p_rows[0]
+        carry = (t >> LIMB_BITS) \
+            + (((t & LIMB_MASK) + (mp0 & LIMB_MASK)) >> LIMB_BITS) \
+            + (mp0 >> LIMB_BITS)
+        for j in range(1, L):
+            prod = m * p_rows[j]
+            cols[i + j] = cols[i + j] + (prod & LIMB_MASK)
+            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
+    out = cols[L: 2 * L]
+    out[0] = out[0] + carry
+    out, _ = carry_rows(out)
+    return cond_sub_rows(out, p_rows)
 
 
 def _bshape(a):
@@ -68,6 +131,7 @@ class FieldSpec:
         self.mont_R_inv = pow(self.mont_R, -1, modulus)
         self.n0_inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
         self.p_limbs = jnp.asarray(int_to_limbs(modulus, n_limbs))
+        self.p_rows = [int(v) for v in int_to_limbs(modulus, n_limbs)]
         self.one_mont = self.mont_R % modulus
 
     # --- host-side form conversion -----------------------------------------
@@ -104,7 +168,18 @@ class FieldSpec:
         return jnp.where((borrow == 0)[None], sub, a)
 
     def mul(self, a, b):
-        """Montgomery product a * b * R^{-1} mod p, CIOS over fori_loop."""
+        """Montgomery product a * b * R^{-1} mod p.
+
+        Two trace-time-selected formulations of the same CIOS math:
+        - TPU: fully-unrolled straight-line graph over per-limb rows (the
+          same `mul_rows` the Pallas kernels run).  The loop formulation's
+          jaxpr->MLIR lowering is pathological on TPU (~150 s per process
+          per shape); the ~2000-op static graph lowers+compiles in seconds.
+        - CPU: lax.fori_loop CIOS with dynamic slices.  XLA:CPU takes ~7 min
+          to compile ONE unrolled multiply, but lowers/compiles the loop in
+          seconds (this is the CI/test path; bit-exactness of the two forms
+          is pinned by the known-answer tests both paths share).
+        """
         L = self.L
         batch = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
 
@@ -116,9 +191,18 @@ class FieldSpec:
 
         a = bcast(a)
         b = bcast(b)
-        # derive the accumulator from `a` so its mesh-varying type matches the
-        # loop body under shard_map (a plain zeros() is 'replicated')
-        zero_b = a[0] * 0
+        if jax.default_backend() in ("tpu", "axon"):
+            rows = mul_rows([a[i] for i in range(L)], [b[i] for i in range(L)],
+                            self.p_rows, self.n0_inv)
+            return jnp.stack(rows)
+        return self._mul_loop(a, b, batch)
+
+    def _mul_loop(self, a, b, batch):
+        L = self.L
+        # derive the accumulator from BOTH operands so its mesh-varying type
+        # matches the loop body under shard_map (plain zeros() is
+        # 'replicated', and either operand alone may be too)
+        zero_b = a[0] * 0 + b[0] * 0
         cols = jnp.zeros((2 * L + 1, *batch), dtype=jnp.uint32) + zero_b
         pad_lo = [(0, 1)] + [(0, 0)] * len(batch)
         pad_hi = [(1, 0)] + [(0, 0)] * len(batch)
@@ -132,13 +216,12 @@ class FieldSpec:
             w = w + jnp.pad(lo, pad_lo) + jnp.pad(hi, pad_hi)
             return lax.dynamic_update_slice_in_dim(cols, w, i, axis=0)
 
-        cols = lax.fori_loop(0, L, conv_body, cols, unroll=4)
+        cols = lax.fori_loop(0, L, conv_body, cols)
 
         n0 = jnp.uint32(self.n0_inv)
         p = self.p_limbs.reshape((L,) + (1,) * len(batch))
         pad_rlo = [(1, 1)] + [(0, 0)] * len(batch)
         pad_rhi = [(2, 0)] + [(0, 0)] * len(batch)
-        carry0 = zero_b
 
         def red_body(i, state):
             cols, carry = state
@@ -156,9 +239,9 @@ class FieldSpec:
             cols = lax.dynamic_update_slice_in_dim(cols, w, i, axis=0)
             return cols, new_carry
 
-        cols, carry = lax.fori_loop(0, L, red_body, (cols, carry0), unroll=4)
+        cols, carry = lax.fori_loop(0, L, red_body, (cols, zero_b))
 
-        out = cols[L : 2 * L + 1]
+        out = cols[L: 2 * L + 1]
         out = out.at[0].add(carry)
         out = _carry_u(out)
         # (ab + mP)/2^(16L) < 2p < 2^(16L) for a,b < p, so limb L is 0 here.

@@ -89,6 +89,20 @@ def pad_n(n: int) -> int:
     return _round_up(n, p // 4)
 
 
+def fold_rows_for(n: int, c: int) -> int:
+    """Slot depth T: deep enough that slot count (merge work) stays small,
+    shallow enough that rounding waste (keys * T/2 dead adds) stays small."""
+    return max(8, min(256, _round_up(max(1, n // (4 << (c - 1))), 8)))
+
+
+def slot_bound(n: int, w_cnt: int, c: int, t: int) -> int:
+    """Static upper bound on slot count: sum_k ceil(cnt_k/T) <= occupied +
+    entries//T, padded to the Pallas lane granule."""
+    entries = w_cnt * n
+    s = min(w_cnt << (c - 1), entries) + entries // t + 1
+    return _round_up(s, 512)
+
+
 def pick_params(n: int, c: int | None = None) -> MsmParams:
     n = pad_n(n)
     if c is None:
@@ -97,11 +111,8 @@ def pick_params(n: int, c: int | None = None) -> MsmParams:
         raise ValueError("device MSM supports c in {8, 16} only (see module "
                          "docstring: other widths concentrate the top window)")
     w = -(-255 // c)
-    b = 1 << (c - 1)
-    t = max(8, min(256, _round_up(max(1, n // (4 * b)), 8)))
-    entries = w * n
-    s_bound = min(w * b, entries) + entries // t + 1
-    return MsmParams(n, c, t, _round_up(s_bound, 512))
+    t = fold_rows_for(n, c)
+    return MsmParams(n, c, t, slot_bound(n, w, c, t))
 
 
 def pick_window_device(n: int) -> int:
@@ -231,15 +242,19 @@ def _signed_digits(limbs, n: int, c: int):
         neg = v > half
         return neg.astype(jnp.int32), jnp.where(neg, v - (1 << c), v)
 
-    _, digits = lax.scan(recode, jnp.zeros((n,), jnp.int32), raw)
+    # carry derives from the input so its mesh-varying type matches the body
+    # output under shard_map (a plain zeros() is 'replicated')
+    _, digits = lax.scan(recode, raw[0] * 0, raw)
     return digits
 
 
-def _phase3_chunks(c: int) -> tuple[int, int]:
-    """Bucket-reduction chunking (G chunks of Cb buckets; W*G mult of 512)."""
-    if c == 8:
-        return 16, 8     # G, Cb: W*G = 32*16 = 512
-    return 2048, 16      # W*G = 16*2048 = 32768
+def _phase3_chunks(c: int, w_cnt: int) -> tuple[int, int]:
+    """Bucket-reduction chunking: B = G chunks x Cb buckets, with Cb <= 16
+    (the suffix kernel holds [L, Cb, 512] x 3 blocks in VMEM) and w_cnt*G a
+    multiple of 512 where possible (the Pallas lane granule)."""
+    b = 1 << (c - 1)
+    g = min(b, max(b // 16, 512 // max(1, w_cnt)))
+    return g, b // g
 
 
 @functools.partial(
@@ -247,14 +262,30 @@ def _phase3_chunks(c: int) -> tuple[int, int]:
 def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
     """limbs: [16, n] uint32 scalar limbs -> [3, 24, W] canonical projective
     window sums (host finishes with the W-term Horner ladder)."""
-    w_cnt = -(-255 // c)
+    digits = _signed_digits(limbs, n, c)
+    return _pipeline_core(ext_x, ext_y, ext_z, digits, n=n, c=c,
+                          w_cnt=-(-255 // c), t_rows=t_rows, s_pad=s_pad,
+                          pallas=pallas)
+
+
+def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
+                   s_pad, pallas):
+    """Window sums for `w_cnt` windows of signed digits [w_cnt, n] over the
+    extended points [P | -P | inf].  Shared by the single-chip jit and the
+    shard_map'ed multi-chip path (which slices a window range per device —
+    SURVEY.md §2c rows 2-3); traced inline into the caller's program."""
     b_cnt = 1 << (c - 1)
     wb = w_cnt * b_cnt
-    g_chunks, cb = _phase3_chunks(c)
+    g_chunks, cb = _phase3_chunks(c, w_cnt)
     wg = w_cnt * g_chunks
 
-    # -- 1+2. signed base-2^c digits [W, n] -------------------------------
-    digits = _signed_digits(limbs, n, c)
+    # mesh-varying zero: loop carries initialised from constants would be
+    # 'replicated' under shard_map and clash with device-varying loop bodies
+    vzero = ext_x[0, 0] * 0 + digits[0, 0].astype(jnp.uint32) * 0
+
+    def vinf(shape):
+        i = g1_infinity(shape)
+        return PointsXYZ(i.x + vzero, i.y + vzero, i.z + vzero)
 
     # -- 3. bucket keys + extended-point indices --------------------------
     live = digits != 0
@@ -294,11 +325,18 @@ def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
         jnp.take(gkey_flat, jnp.minimum(slot_pos, w_cnt * n - 1)), wb + 9)
 
     # -- 7. fold plan [T, s_pad] into the extended points ------------------
-    gslot_flat = gslot.reshape(-1)
-    e_flat = e_s.reshape(-1)
+    # One -1 pad entry: out-of-run rows clip onto it and fail the slot-id
+    # check.  (Clipping to W*n-1 instead silently DOUBLE-COUNTS the final
+    # entry whenever the last sorted entry of the top window is live — its
+    # slot id equals the clipped row's, so up to T-1 phantom adds passed
+    # validation.)
+    gslot_flat = jnp.concatenate(
+        [gslot.reshape(-1), jnp.full((1,), -1, jnp.int32)])
+    e_flat = jnp.concatenate(
+        [e_s.reshape(-1), jnp.zeros((1,), jnp.int32)])
     pos = slot_pos[None, :] + lax.broadcasted_iota(
         jnp.int32, (t_rows, s_pad), 0)
-    pos_c = jnp.minimum(pos, w_cnt * n - 1).reshape(-1)
+    pos_c = jnp.minimum(pos, w_cnt * n).reshape(-1)
     s_iota = lax.broadcasted_iota(jnp.int32, (t_rows, s_pad), 1)
     valid = jnp.take(gslot_flat, pos_c).reshape(t_rows, s_pad) == s_iota
     plan = jnp.where(valid, jnp.take(e_flat, pos_c).reshape(t_rows, s_pad),
@@ -319,7 +357,7 @@ def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
                           jnp.take(ext_z, row, axis=1))
             return _g1_add_jnp(a, q), None
 
-        acc, _ = lax.scan(fold_step, g1_infinity((s_pad,)), plan)
+        acc, _ = lax.scan(fold_step, vinf((s_pad,)), plan)
 
     # -- 9. merge slots of equal bucket (masked Hillis-Steele suffix scan;
     #       rounds data-dependent via while_loop, shapes static) -----------
@@ -362,7 +400,7 @@ def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
         jnp.where(occ, _take1(mz, sel_c), 0))
 
     # -- 11. bucket reduction: sum_b (b+1) * bucket_b per window -----------
-    if pallas:
+    if pallas and wg % 512 == 0:
         from .pallas_kernels import g1_suffix_weighted_pallas
 
         tg, lw = g1_suffix_weighted_pallas(*dense)
@@ -379,8 +417,7 @@ def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
             suf = _g1_add_jnp(suf, q)
             return suf, _g1_add_jnp(wsum, suf)
 
-        tg, lw = lax.fori_loop(
-            0, cb, p3_step, (g1_infinity((wg,)), g1_infinity((wg,))))
+        tg, lw = lax.fori_loop(0, cb, p3_step, (vinf((wg,)), vinf((wg,))))
 
     # Hillis-Steele suffix over chunks g within each window: U_g = sum_{h>=g} T_h
     wgidx = jnp.arange(wg, dtype=jnp.int32)

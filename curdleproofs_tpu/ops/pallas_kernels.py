@@ -44,59 +44,21 @@ _ONE_MONT = _rows(FQ.one_mont)
 _N0INV = FQ.n0_inv
 
 
-# --- in-kernel field arithmetic on lists of [N]-wide uint32 rows ----------------
+# --- in-kernel field arithmetic on lists of [N]-wide uint32 rows ---------------
+# The row math itself lives in ops/field.py (`mul_rows` & friends) and is
+# shared verbatim with the non-Pallas jnp path — one implementation, one
+# bit-exactness surface.
 
-def _k_carry(cols):
-    """Full carry propagation; returns L rows + final carry row."""
-    out = []
-    c = jnp.zeros_like(cols[0])
-    for col in cols:
-        t = col + c
-        out.append(t & _MASK)
-        c = t >> LIMB_BITS
-    return out, c
+from .field import carry_rows as _k_carry  # noqa: E402
+from .field import cond_sub_rows, mul_rows  # noqa: E402
 
 
 def _k_cond_sub_p(rows):
-    """rows (< 2p) -> canonical < p."""
-    borrow = jnp.zeros_like(rows[0], dtype=jnp.int32)
-    sub = []
-    for i in range(L):
-        t = rows[i].astype(jnp.int32) - _P[i] + borrow
-        sub.append((t & LIMB_MASK).astype(jnp.uint32))
-        borrow = t >> LIMB_BITS
-    geq = borrow == 0
-    return [jnp.where(geq, s, r) for s, r in zip(sub, rows)]
+    return cond_sub_rows(rows, _P)
 
 
 def _k_mul(a, b):
-    """Montgomery product of two lists of L rows -> L rows (canonical < p)."""
-    cols = [None] * (2 * L)
-    for i in range(L):
-        for j in range(L):
-            prod = a[i] * b[j]
-            lo = prod & _MASK
-            hi = prod >> LIMB_BITS
-            k = i + j
-            cols[k] = lo if cols[k] is None else cols[k] + lo
-            cols[k + 1] = hi if cols[k + 1] is None else cols[k + 1] + hi
-    # CIOS reduction
-    carry = jnp.zeros_like(a[0])
-    n0 = _N0INV
-    for i in range(L):
-        t = cols[i] + carry
-        m = (t * n0) & _MASK
-        mp0 = m * _P[0]
-        carry = (t >> LIMB_BITS) + (((t & _MASK) + (mp0 & _MASK)) >> LIMB_BITS) \
-            + (mp0 >> LIMB_BITS)
-        for j in range(1, L):
-            prod = m * _P[j]
-            cols[i + j] = cols[i + j] + (prod & _MASK)
-            cols[i + j + 1] = cols[i + j + 1] + (prod >> LIMB_BITS)
-    out = cols[L : 2 * L]
-    out[0] = out[0] + carry
-    out, _ = _k_carry(out)
-    return _k_cond_sub_p(out)
+    return mul_rows(a, b, _P, _N0INV)
 
 
 def _k_add(a, b):

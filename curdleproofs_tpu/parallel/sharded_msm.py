@@ -1,14 +1,23 @@
-"""MSM sharded across a TPU mesh (points data-parallel, ICI reduction).
+"""Pippenger MSM sharded across a TPU mesh: points x windows.
 
-Each device computes the 255 per-bit partial sums over its shard of points
-(the same masked tree reduction as the single-chip kernel), the [255] partial
-sums are all-gathered over the mesh axis (EC addition is not an arithmetic
-`psum`, so the reduction is an explicit log-depth tree of complete adds), and
-the Horner ladder runs replicated. Per-device work is 255*(N/D) adds + O(log D).
+Two mesh axes over the SAME on-device pipeline as the single-chip flagship
+kernel (ops/msm_device.py):
 
-This is the TPU equivalent of rayon-parallel `VariableBaseMSM` in the
-reference (SURVEY.md §2c) and the unit that scales the verifier's single
-deduped MSM (`msm_accumulator.rs:55-68`) across chips.
+- `points` (data parallel): each device runs digit-recode -> sort -> slot
+  plan -> Pallas bucket fold -> merge -> bucket reduction on its shard of
+  (point, scalar) pairs.  Window sums are additive across shards, so the
+  only communication is the final [3, 24, W] window-sum tensor.
+- `windows` ("tensor parallel", SURVEY.md §2c row 3): Pippenger windows are
+  statically partitioned across the axis; each device sorts/folds/reduces
+  only its window range, cutting both the per-device fold entries and the
+  fixed W*B bucket-reduction term by the axis size.
+
+EC addition is not an arithmetic `psum`, so per-device window sums are
+returned per-shard (shard_map stacks them) and the tiny cross-device
+combine — D*W point additions + the Horner ladder — runs on host.
+
+This scales the verifier's one giant deduped MSM (the reference's rayon
+`VariableBaseMSM`, util.rs:19-22 / msm_accumulator.rs:55-68) across chips.
 """
 
 from __future__ import annotations
@@ -22,74 +31,114 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..host.g1 import G1
-from ..ops.g1_ops import PointsXYZ, g1_add, points_from_device, points_to_device
-from ..ops.limbs import ints_to_bits
-from ..ops.msm import NBITS, _horner, _masked_bit_sums
+from ..ops.g1_ops import PointsXYZ, g1_infinity, points_to_device, use_pallas
+from ..ops.msm_device import (
+    _pipeline_core, _scalars_to_limbs, _signed_digits, _window_sums_to_host,
+    fold_rows_for, slot_bound,
+)
 
 __all__ = ["make_msm_mesh", "sharded_msm_kernel", "sharded_msm"]
 
 
-def make_msm_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
+def make_msm_mesh(n_devices: int | None = None, n_window_shards: int = 1,
+                  axes: tuple[str, str] = ("points", "windows")) -> Mesh:
+    """Mesh of shape (n_devices / n_window_shards, n_window_shards)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(np.array(devs), (axis,))
+    dp = len(devs) // n_window_shards
+    grid = np.array(devs[: dp * n_window_shards]).reshape(dp, n_window_shards)
+    return Mesh(grid, axes)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh_axis",))
-def _noop(x, mesh_axis):
-    return x
+def _pick_c(n_total: int) -> int:
+    return 8 if n_total < (1 << 18) else 16
 
 
-def sharded_msm_kernel(mesh: Mesh, axis: str = "points"):
-    """Build a jitted sharded-MSM callable for `mesh`.
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "n_local", "c", "w_local", "t_rows", "s_pad",
+                     "pallas"))
+def _sharded_step(pts, limbs, *, mesh, n_local, c, w_local, t_rows, s_pad,
+                  pallas):
+    """pts: [24, n] x3 plain points; limbs [16, n].  Returns
+    [Dp, Dw, 3, 24, w_local] per-device window sums (canonical)."""
+    w_total = -(-255 // c)
 
-    Returned fn: (points [N], bits [N, NBITS]) -> PointsXYZ scalar point,
-    with N divisible by mesh size (pad with infinity).
+    def local(px, py, pz, lb):
+        # extend the local shard to [P | -P | inf]
+        inf = g1_infinity((1,))
+        from ..ops.field import FQ
+
+        ext_x = jnp.concatenate([px, px, inf.x], axis=1)
+        ext_y = jnp.concatenate([py, FQ.neg(py), inf.y], axis=1)
+        ext_z = jnp.concatenate([pz, pz, inf.z], axis=1)
+        digits = _signed_digits(lb, n_local, c)           # all windows
+        j = lax.axis_index("windows")
+        mine = lax.dynamic_slice_in_dim(digits, j * w_local, w_local, axis=0)
+        out = _pipeline_core(ext_x, ext_y, ext_z, mine, n=n_local, c=c,
+                             w_cnt=w_local, t_rows=t_rows, s_pad=s_pad,
+                             pallas=pallas)
+        return out[None, None]                            # [1, 1, 3, 24, Wl]
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "points"), P(None, "points"), P(None, "points"),
+                  P(None, "points")),
+        out_specs=P("points", "windows", None, None, None),
+    )(pts.x, pts.y, pts.z, limbs)
+
+
+def sharded_msm_kernel(mesh: Mesh, n_total: int, c: int | None = None):
+    """Build a host-facing callable (points, scalars) -> G1 for fixed sizes.
+
+    `n_total` is padded so every `points`-shard gets the same local size.
     """
-    n_dev = mesh.devices.size
+    dp, dw = mesh.devices.shape
+    c = c if c is not None else _pick_c(n_total)
+    w_total = -(-255 // c)
+    if w_total % dw:
+        raise ValueError(f"windows axis {dw} must divide W={w_total}")
+    w_local = w_total // dw
+    n_local = -(-n_total // dp)
+    n_local = max(64, -(-n_local // 64) * 64)
+    n_pad = n_local * dp
+    t_rows = fold_rows_for(n_local, c)
+    s_pad = slot_bound(n_local, w_local, c, t_rows)
+    pallas = use_pallas()
 
-    def _local(pts: PointsXYZ, bits: jnp.ndarray) -> PointsXYZ:
-        local_sums = _masked_bit_sums(pts, bits)        # [24, NBITS] partials
-        gathered = lax.all_gather(local_sums, axis)     # [D, 24, NBITS]
-        # limb axis back in front: [24, D, NBITS], then tree-reduce over D
-        cur = PointsXYZ(jnp.moveaxis(gathered.x, 0, 1),
-                        jnp.moveaxis(gathered.y, 0, 1),
-                        jnp.moveaxis(gathered.z, 0, 1))
-        d = n_dev
-        while d > 1:
-            half = d // 2
-            cur = g1_add(
-                PointsXYZ(cur.x[:, :half], cur.y[:, :half], cur.z[:, :half]),
-                PointsXYZ(cur.x[:, half:d], cur.y[:, half:d], cur.z[:, half:d]))
-            d = half
-        sums = PointsXYZ(cur.x[:, 0], cur.y[:, 0], cur.z[:, 0])  # [24, NBITS]
-        return _horner(sums)                            # replicated
+    def run(points: list[G1], scalars: list[int]) -> G1:
+        assert len(points) <= n_pad
+        pts = points_to_device(
+            list(points) + [G1.infinity()] * (n_pad - len(points)))
+        limbs = jnp.asarray(_scalars_to_limbs(list(scalars), n_pad))
+        out = np.asarray(_sharded_step(
+            pts, limbs, mesh=mesh, n_local=n_local, c=c, w_local=w_local,
+            t_rows=t_rows, s_pad=s_pad, pallas=pallas))
+        # host combine: Dp*Dw*Wl window-sum points -> W windows -> Horner
+        shard_pts = _window_sums_to_host(
+            out.transpose(2, 3, 0, 1, 4).reshape(3, 24, -1))
+        win = [G1.infinity() for _ in range(w_total)]
+        k = 0
+        for i in range(dp):
+            for j in range(dw):
+                for l in range(w_local):
+                    win[j * w_local + l] = win[j * w_local + l].add(
+                        shard_pts[k])
+                    k += 1
+        acc = G1.infinity()
+        for w in range(w_total - 1, -1, -1):
+            for _ in range(c):
+                acc = acc.double()
+            acc = acc.add(win[w])
+        return acc
 
-    mapped = jax.shard_map(
-        _local, mesh=mesh,
-        in_specs=(PointsXYZ(P(None, axis), P(None, axis), P(None, axis)),
-                  P(axis)),
-        out_specs=PointsXYZ(P(), P(), P()),
-        # the all_gather + replicated tree reduction makes every device hold
-        # the same value, but the static vma check can't see that
-        check_vma=False,
-    )
-    return jax.jit(mapped)
+    return run
 
 
 def sharded_msm(points: list[G1], scalars: list[int],
-                mesh: Mesh | None = None) -> G1:
-    """Host-facing sharded MSM: pads, uploads, runs, downloads."""
+                mesh: Mesh | None = None, c: int | None = None) -> G1:
+    """Host-facing sharded MSM: pads, uploads, runs, combines."""
     if mesh is None:
         mesh = make_msm_mesh()
-    n_dev = mesh.devices.size
-    n = len(points)
-    m = max(n_dev, 1)
-    while m < n or (m % n_dev):
-        m *= 2
-    pts = points_to_device(list(points) + [G1.infinity()] * (m - n))
-    bits = jnp.asarray(ints_to_bits(list(scalars) + [0] * (m - n), NBITS))
-    out = sharded_msm_kernel(mesh)(pts, bits)
-    return points_from_device(
-        PointsXYZ(out.x[:, None], out.y[:, None], out.z[:, None]))[0]
+    return sharded_msm_kernel(mesh, len(points), c)(points, scalars)

@@ -50,6 +50,20 @@ def test_msm_device_adversarial_digit_skew():
     assert got == want
 
 
+def test_msm_device_no_dead_tail_regression():
+    """Exact power-of-two n with fully-live top-window digits: the plan
+    gather once clipped out-of-run rows onto the LAST sorted entry, whose
+    slot id matched, silently double-counting it (caught at n=64/128)."""
+    for n in (64, 128):
+        rnd2 = random.Random(7)
+        rng = StdRng.seed_from_u64(11)
+        pts = [rng.rand_g1() for _ in range(n)]
+        ss = [rnd2.randrange(R) for _ in range(n)]
+        got = msm_device(pts, ss, c=8)
+        want = PurePythonBackend().msm(pts, ss)
+        assert got == want, f"n={n}"
+
+
 def test_msm_device_all_zero_and_tiny():
     rng = StdRng.seed_from_u64(11)
     pts = [rng.rand_g1() for _ in range(5)]

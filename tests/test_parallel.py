@@ -1,4 +1,8 @@
-"""Sharded MSM on a virtual 8-device CPU mesh == single-chip == host."""
+"""Sharded Pippenger MSM on a virtual 8-device CPU mesh == host.
+
+Covers both mesh axes: `points` (data parallel over MSM entries) and
+`windows` (Pippenger windows tensor-parallel, SURVEY.md §2c row 3).
+"""
 
 import random
 
@@ -30,8 +34,16 @@ def test_sharded_msm_matches_host(points64):
     assert got == HostBackend().msm(points64, scalars)
 
 
+def test_sharded_msm_window_axis(points64):
+    """points x windows grid: 4 point shards x 2 window shards."""
+    scalars = [rnd.randrange(R) for _ in range(64)]
+    mesh = make_msm_mesh(8, n_window_shards=2)
+    assert mesh.devices.shape == (4, 2)
+    got = sharded_msm(points64, scalars, mesh)
+    assert got == HostBackend().msm(points64, scalars)
+
+
 def test_sharded_msm_ragged_and_small(points64):
-    # n=11 pads to 16 over 8 devices (2 points/device)
     pts = points64[:11]
     scalars = [rnd.randrange(R) for _ in range(11)]
     mesh = make_msm_mesh(8)
