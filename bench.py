@@ -2,10 +2,13 @@
 
 Headline: ell=252 shuffle-proof prover wall time vs the reference's published
 560 ms (Intel i7-8550U, /root/reference/README.md:49; see BASELINE.md).
-Sub-metrics (verify, shuffle, MSM throughput) ride in "extra".
+"extra" carries: verify/shuffle vs baseline, batched verification at
+BASELINE config-5 scale (default B=1024) with the per-proof host work split
+out, device-MSM throughput, and speed-of-light kernel accounting.
 
-Run on real hardware:  python bench.py           (uses the default backend)
-Quick mode:            python bench.py --ell 60
+Run on real hardware:  python bench.py
+Quick mode:            python bench.py --ell 60 --batch 32 --skip-msm
+Reference criterion config (N=512):  python bench.py --ell 508
 """
 
 from __future__ import annotations
@@ -28,20 +31,26 @@ def _enable_compile_cache():
     except Exception:
         pass
 
+
 BASELINES_MS = {  # README.md:47-49 (prove, verify, shuffle)
     60: (177.0, 22.0, 28.0),
     124: (304.0, 27.0, 57.0),
     252: (560.0, 35.0, 121.0),
+    # ell=508 is the reference's criterion config (benches/perf.rs:29-31);
+    # no numbers are published, so scale the ell=252 row by the dominant
+    # O(n) terms (2x) as an indicative baseline.
+    508: (1120.0, 70.0, 242.0),
 }
 
 
-def bench_protocol(ell: int, repeats: int = 3):
+def bench_protocol(ell: int, repeats: int, batch: int):
+    from curdleproofs_tpu.backend import get_backend
     from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
     from curdleproofs_tpu.host.rng import StdRng
+    from curdleproofs_tpu.msm_accumulator import MsmAccumulator
     from curdleproofs_tpu.util import (
         generate_blinders, get_permutation, msm,
     )
-    from curdleproofs_tpu.backend import get_backend
 
     rng = StdRng.seed_from_u64(0)
     crs = generate_crs(ell)
@@ -82,16 +91,16 @@ def bench_protocol(ell: int, repeats: int = 3):
         proof.verify(crs, vec_R, vec_S, vec_T, vec_U, M, rng)
         t_vf.append(time.perf_counter() - t0)
 
-    # --- batched verification (BASELINE config 5, single-host figure):
-    # distinct proofs over the same inputs; CRS + (R, S) bases dedup into
-    # ONE accumulated MSM for the whole batch
+    # --- batched verification (BASELINE config 5): B independent proofs,
+    # one shared accumulator, ONE deduped MSM. The per-proof host work
+    # (transcript replay + scalar math) and the final MSM are timed apart.
     from curdleproofs_tpu.parallel.batch_verify import (
         ShuffleInstance, batch_verify,
     )
 
-    B = 8
     instances, proofs = [], []
-    for _ in range(B):
+    t0 = time.perf_counter()
+    for _ in range(batch):
         p_i = list(range(ell))
         rng.shuffle(p_i)
         k_i = rng.rand_fr()
@@ -103,58 +112,147 @@ def bench_protocol(ell: int, repeats: int = 3):
         instances.append(ShuffleInstance(vec_R, vec_S, t_i, u_i, m_i))
         proofs.append(CurdleproofsProof.new(crs, vec_R, vec_S, t_i, u_i, m_i,
                                             p_i, k_i, rb_i, rng))
-    assert batch_verify(crs, instances, proofs, rng)  # warm
-    t_batch = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        assert batch_verify(crs, instances, proofs, rng)
-        t_batch = min(t_batch, time.perf_counter() - t0)
+    build_s = time.perf_counter() - t0
 
-    return (min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3,
-            B / t_batch)
+    t0 = time.perf_counter()
+    assert batch_verify(crs, instances, proofs, rng)
+    t_batch = time.perf_counter() - t0
+
+    # split: replay-only (accumulate, no MSM), then the final deduped MSM
+    acc = MsmAccumulator()
+    t0 = time.perf_counter()
+    for inst, pf in zip(instances, proofs):
+        pf.verify_with_accumulator(crs, inst.vec_R, inst.vec_S, inst.vec_T,
+                                   inst.vec_U, inst.M, acc, rng)
+    replay_s = time.perf_counter() - t0
+    bases, scalars = acc._dedup()
+    t0 = time.perf_counter()
+    assert msm(bases, scalars).is_infinity()
+    msm_s = time.perf_counter() - t0
+
+    batch_stats = {
+        "B": batch,
+        "proofs_per_s": round(batch / t_batch, 1),
+        "per_proof_ms": round(t_batch / batch * 1e3, 2),
+        "replay_ms_per_proof": round(replay_s / batch * 1e3, 2),
+        "final_msm_bases": len(bases),
+        "final_msm_s": round(msm_s, 2),
+        "build_s": round(build_s, 1),
+    }
+    return (min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3, batch_stats)
 
 
-def bench_msm_throughput(log_n: int = 12):
-    """Device MSM scalar-muls/sec/chip at 2^log_n points (fixed-shape
-    pallas bucket fold, ops/msm_device.py)."""
-    _enable_compile_cache()
-    import os
-
-    os.environ.setdefault("CURDLEPROOFS_USE_PALLAS", "1")
+def bench_msm_throughput(log_n: int):
+    """Device MSM scalar-muls/sec/chip at 2^log_n points (the full on-device
+    pipeline, ops/msm_device.py; bases device-resident)."""
     import random
 
     from curdleproofs_tpu.constants import R
     from curdleproofs_tpu.host.rng import StdRng
-    from curdleproofs_tpu.ops.msm_device import msm_device
+    from curdleproofs_tpu.ops.msm_device import msm_device, prepare_bases
 
     n = 1 << log_n
     rng = StdRng.seed_from_u64(1)
     rnd = random.Random(1)
-    base = [rng.rand_g1() for _ in range(64)]
-    pts = [base[i % 64] for i in range(n)]
+    base = [rng.rand_g1() for _ in range(min(n, 4096))]
+    pts = [base[i % len(base)] for i in range(n)]
     ss = [rnd.randrange(R) for _ in range(n)]
 
-    msm_device(pts, ss)  # compile + warm
-    reps = 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        msm_device(pts, ss)
-    dt = (time.perf_counter() - t0) / reps
-    return n / dt  # scalar-muls per second (end-to-end incl. host plan)
+    bases = prepare_bases(pts)
+    msm_device(bases, ss)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        msm_device(bases, ss)
+        best = min(best, time.perf_counter() - t0)
+    return n / best  # scalar-muls/s, end-to-end (scalar upload included)
+
+
+def bench_speed_of_light():
+    """Marginal Pallas kernel rates vs the VPU integer ceiling.
+
+    Ceiling model: 8x128 int32 lanes/cycle at ~940 MHz =~ 0.96e12 vec-ops/s.
+    One Montgomery fq_mul is ~2300 straight-line vector ops (24x24 products
+    hi+lo, CIOS reduction, carries); one complete G1 add is 12 fq_mul + 4
+    cheap b3-adds =~ 29k vec-ops.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from curdleproofs_tpu.ops.limbs import FQ_LIMBS
+    from curdleproofs_tpu.ops.pallas_kernels import (
+        fq_mul_pallas, g1_add_pallas_flat,
+    )
+    from curdleproofs_tpu.ops.g1_ops import PointsXYZ
+
+    n = 1 << 16
+    key = jax.random.PRNGKey(0)
+    a = jax.random.randint(key, (FQ_LIMBS, n), 0, 1 << 16, dtype=jnp.uint32)
+
+    def sync(x):
+        np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+    # marginal cost via k-rep difference (the tunnel sync floor is ~33 ms)
+    def marginal(make, reps=(1, 5)):
+        outs = []
+        for kreps in reps:
+            f = jax.jit(make(kreps))
+            sync(f(a))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sync(f(a))
+                ts.append(time.perf_counter() - t0)
+            outs.append(min(ts))
+        return (outs[1] - outs[0]) / (reps[1] - reps[0])
+
+    def mk_mul(kreps):
+        def f(x):
+            y = x
+            for _ in range(kreps):
+                y = fq_mul_pallas(y, x)
+            return y
+        return f
+
+    def mk_add(kreps):
+        def f(x):
+            p = PointsXYZ(x, x, x)
+            for _ in range(kreps):
+                p = g1_add_pallas_flat(p, PointsXYZ(x, x, x), (n,))
+            return p
+        return f
+
+    mul_s = marginal(mk_mul)
+    add_s = marginal(mk_add)
+    vpu_ops = 0.96e12
+    mul_rate = n / mul_s
+    add_rate = n / add_s
+    return {
+        "fq_mul_M_per_s": round(mul_rate / 1e6, 1),
+        "fq_mul_pct_of_sol": round(100 * mul_rate / (vpu_ops / 2300), 1),
+        "g1_add_M_per_s": round(add_rate / 1e6, 2),
+        "g1_add_pct_of_sol": round(100 * add_rate / (vpu_ops / 29000), 1),
+        "sol_model": "0.96e12 int32 VPU lane-ops/s; fq_mul~2300, g1_add~29000 ops",
+    }
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ell", type=int, default=252)
     ap.add_argument("--repeats", type=int, default=5)
-    ap.add_argument("--msm-logn", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=1024,
+                    help="batched-verification size (BASELINE config 5: 1024)")
+    ap.add_argument("--msm-logn", type=int, default=14)
     ap.add_argument("--skip-msm", action="store_true")
+    ap.add_argument("--skip-sol", action="store_true")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the device MSM")
     args = ap.parse_args()
+    _enable_compile_cache()
 
-    shuffle_ms, prove_ms, verify_ms, batch_rate = bench_protocol(
-        args.ell, args.repeats)
+    shuffle_ms, prove_ms, verify_ms, batch_stats = bench_protocol(
+        args.ell, args.repeats, args.batch)
     base_prove, base_verify, base_shuffle = BASELINES_MS.get(
         args.ell, BASELINES_MS[252])
 
@@ -164,7 +262,8 @@ def main():
         "verify_vs_baseline": round(base_verify / verify_ms, 3),
         "shuffle_ms": round(shuffle_ms, 2),
         "shuffle_vs_baseline": round(base_shuffle / shuffle_ms, 3),
-        "batch_verify_proofs_per_s": round(batch_rate, 2),
+        "batch_verify": batch_stats,
+        "batch_verify_proofs_per_s": batch_stats["proofs_per_s"],
         "baseline_hw": "i7-8550U (reference README)",
     }
     if not args.skip_msm:
@@ -180,6 +279,11 @@ def main():
             extra["device_msm_log_n"] = args.msm_logn
         except Exception as e:  # no TPU available etc.
             extra["device_msm_error"] = repr(e)[:200]
+    if not args.skip_sol:
+        try:
+            extra["speed_of_light"] = bench_speed_of_light()
+        except Exception as e:
+            extra["speed_of_light_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": f"prove_ell{args.ell}_ms",

@@ -168,10 +168,10 @@ class CurdleproofsProof:
             crs.vec_G, crs.vec_H, crs.H, crs.G_sum, crs.H_sum, self.A, M,
             vec_a, N_BLINDERS, transcript, msm_accumulator, rng)
 
-        # Step 3
+        # Step 3 (accumulated; eager in the reference — see same_scalar.py)
         self.same_scalar_proof.verify(
             crs.G_t, crs.G_u, crs.H, self.R, self.S, self.cm_T, self.cm_U,
-            transcript)
+            transcript, msm_accumulator, rng)
 
         # Step 4
         A_prime = self.A.add(self.cm_T.T_1).add(self.cm_U.T_1)

@@ -160,7 +160,7 @@ class GrandProductProof:
         inner_prod = (self.r_p * fr_pow(beta, ell + 1)
                       + gprod_result * fr_pow(beta, ell) - 1) % R
 
-        D = B.add(crs_G_sum.mul(beta_inv).neg()).add(crs_H_sum.mul(alpha))
+        D = msm([B, crs_G_sum, crs_H_sum], [1, (-beta_inv) % R, alpha])
 
         self.ipa_proof.verify(vec_G, crs_U, self.C, D, inner_prod, vec_u,
                               transcript, msm_accumulator, rng)

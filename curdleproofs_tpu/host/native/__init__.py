@@ -64,6 +64,9 @@ def lib() -> ctypes.CDLL | None:
                             ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
                             ctypes.c_uint64, ctypes.c_char_p],
         "cp_strobe_init": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64],
+        "cp_transcript_challenges": [ctypes.c_char_p, ctypes.c_char_p,
+                                     ctypes.c_uint64, ctypes.c_uint64,
+                                     ctypes.c_char_p],
         "cp_strobe_meta_ad": [ctypes.c_char_p, ctypes.c_char_p,
                               ctypes.c_uint64, ctypes.c_int32],
         "cp_strobe_ad": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,

@@ -3228,4 +3228,45 @@ void cp_strobe_append_many(uint8_t *blob, const uint8_t *label,
     }
 }
 
+// The full merlin challenge loop (transcript.rs:41-54) for `count` Fr
+// challenges in ONE call: challenge_bytes(label, 64) -> first 32 bytes LE
+// masked to 255 bits -> reject zero / >= r and retry -> re-append the
+// accepted 32-byte value under the same label. out: count x 32 bytes LE.
+void cp_transcript_challenges(uint8_t *blob, const uint8_t *label,
+                              uint64_t label_len, uint64_t count,
+                              uint8_t *out) {
+    StrobeState &s = *reinterpret_cast<StrobeState *>(blob);
+    const uint8_t len64[4] = {64, 0, 0, 0};
+    const uint8_t len32[4] = {32, 0, 0, 0};
+    for (uint64_t i = 0; i < count; ++i) {
+        for (;;) {
+            strobe_begin_op(s, 0x10 | 0x02, 0);        // meta_ad(label)
+            strobe_absorb(s, label, label_len);
+            strobe_begin_op(s, 0x10 | 0x02, 1);        // meta_ad(len, more)
+            strobe_absorb(s, len64, 4);
+            uint8_t buf[64];
+            strobe_begin_op(s, 0x01 | 0x02 | 0x04, 0); // prf
+            strobe_squeeze(s, buf, 64);
+            buf[31] &= 0x7f;                           // 255-bit mask
+            u64 v[4];
+            std::memcpy(v, buf, 32);
+            bool zero = !(v[0] | v[1] | v[2] | v[3]);
+            bool ge = true;                            // equal counts as >=
+            for (int l = 3; l >= 0; --l) {
+                if (v[l] > R_ORDER[l]) break;
+                if (v[l] < R_ORDER[l]) { ge = false; break; }
+            }
+            if (zero || ge) continue;
+            strobe_begin_op(s, 0x10 | 0x02, 0);        // append_message
+            strobe_absorb(s, label, label_len);
+            strobe_begin_op(s, 0x10 | 0x02, 1);
+            strobe_absorb(s, len32, 4);
+            strobe_begin_op(s, 0x02, 0);
+            strobe_absorb(s, buf, 32);
+            std::memcpy(out + 32 * i, buf, 32);
+            break;
+        }
+    }
+}
+
 }  // extern "C"

@@ -154,6 +154,17 @@ class NativeStrobe128:
         self._lib.cp_strobe_append_many(self._blob, label, len(label),
                                         msgs, msg_size, count)
 
+    def challenges(self, label: bytes, count: int) -> bytes:
+        """The full merlin challenge loop (64-byte prf, 255-bit mask,
+        rejection, re-append) for `count` Fr values in one native call;
+        returns count x 32 LE bytes."""
+        import ctypes
+
+        out = ctypes.create_string_buffer(32 * count)
+        self._lib.cp_transcript_challenges(self._blob, label, len(label),
+                                           count, out)
+        return out.raw
+
 
 def _best_strobe():
     try:
@@ -197,3 +208,12 @@ class MerlinTranscript:
         self.strobe.meta_ad(label, False)
         self.strobe.meta_ad(n.to_bytes(4, "little"), True)
         return self.strobe.prf(n, False)
+
+    def fr_challenges(self, label: bytes, count: int) -> list[int] | None:
+        """Batched Fr challenge loop (native only; None -> caller falls back
+        to the per-challenge python loop, which is bit-identical)."""
+        if not hasattr(self.strobe, "challenges"):
+            return None
+        raw = self.strobe.challenges(label, count)
+        return [int.from_bytes(raw[32 * i: 32 * i + 32], "little")
+                for i in range(count)]

@@ -1,7 +1,8 @@
 """Same scalar argument (parity: `/root/reference/src/same_scalar_argument.rs`).
 
 Sigma-protocol proving cm_T, cm_U commit to k*R, k*S under the same scalar k.
-Verified eagerly (not via the MSM accumulator), matching the reference.
+Verified eagerly when no accumulator is passed (the reference always does);
+with one, its four linear checks join the single deferred MSM.
 """
 
 from __future__ import annotations
@@ -12,6 +13,7 @@ from .errors import VerificationError
 from .host.g1 import G1
 from .host.rng import StdRng
 from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
+from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 
 __all__ = ["SameScalarProof"]
@@ -73,11 +75,37 @@ class SameScalarProof:
         cm_T: GroupCommitment,
         cm_U: GroupCommitment,
         transcript: Transcript,
+        msm_accumulator: MsmAccumulator | None = None,
+        rng: StdRng | None = None,
     ) -> None:
+        """Verify `cm_A + alpha*cm_T == Com(z_k*R, z_t)` (and the U twin).
+
+        With an accumulator, the four linear component equations join the
+        one deferred MSM under fresh random weights — 10 scalar muls saved
+        per proof.  (Deviation from the reference, which always checks this
+        sub-argument eagerly, same_scalar_argument.rs:129-136; soundness is
+        the same random-linear-combination argument the accumulator already
+        rests on.)  Without an accumulator the eager path runs as upstream.
+        """
         transcript.append_points(b"sameexp_points", [
             R_pt, S_pt, cm_T.T_1, cm_T.T_2, cm_U.T_1, cm_U.T_2,
             self.cm_A.T_1, self.cm_A.T_2, self.cm_B.T_1, self.cm_B.T_2])
         alpha = transcript.get_and_append_challenge(b"same_scalar_alpha")
+
+        if msm_accumulator is not None and rng is not None:
+            neg = -1 % R
+            for (lhs1, lhs2, zk_base, com_g, zr) in (
+                    (self.cm_A, cm_T, R_pt, crs_G_t, self.z_t),
+                    (self.cm_B, cm_U, S_pt, crs_G_u, self.z_u)):
+                # T_1 part: lhs1.T_1 + alpha*lhs2.T_1 == zr * com_g
+                msm_accumulator.accumulate_zero(
+                    [1, alpha, zr * neg % R],
+                    [lhs1.T_1, lhs2.T_1, com_g], rng)
+                # T_2 part: lhs1.T_2 + alpha*lhs2.T_2 == z_k*base + zr*H
+                msm_accumulator.accumulate_zero(
+                    [1, alpha, self.z_k * neg % R, zr * neg % R],
+                    [lhs1.T_2, lhs2.T_2, zk_base, crs_H], rng)
+            return
 
         expected_1 = GroupCommitment.new(crs_G_t, crs_H, R_pt.mul(self.z_k), self.z_t)
         expected_2 = GroupCommitment.new(crs_G_u, crs_H, S_pt.mul(self.z_k), self.z_u)

@@ -60,6 +60,9 @@ class Transcript:
 
     # --- challenges ------------------------------------------------------
     def get_and_append_challenge(self, label: bytes) -> int:
+        out = self._t.fr_challenges(label, 1)
+        if out is not None:
+            return out[0]
         while True:
             buf = self._t.challenge_bytes(label, 64)
             e = fr_from_random_bytes(buf)
@@ -68,4 +71,9 @@ class Transcript:
                 return e
 
     def get_and_append_challenges(self, label: bytes, n: int) -> list[int]:
+        """One native call for the whole vector when available (the python
+        loop is bit-identical; the golden whisk vectors pin both)."""
+        out = self._t.fr_challenges(label, n)
+        if out is not None:
+            return out
         return [self.get_and_append_challenge(label) for _ in range(n)]

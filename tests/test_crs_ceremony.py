@@ -41,6 +41,26 @@ def test_ethereum_crs_shuffle_roundtrip():
     assert is_valid_whisk_shuffle_proof(rng, crs, trackers, post, proof)
 
 
+def test_ethereum_crs_128_seed():
+    """The REAL Ethereum CRS: n=128 from the ceremony seed, full whisk
+    round-trip on it (tests/crs.rs:55-114 `ethereum_crs_128_seed`)."""
+    n = 128
+    points, increment = generate_random_points(n + CRS_EXTRA_POINTS, SEED)
+    crs = CurdleproofsCrs.from_points(n - N_BLINDERS, points)
+    assert crs.log2_n() == 7
+    assert increment >= n + CRS_EXTRA_POINTS
+    for p in points:
+        assert p.is_on_curve() and p.is_in_correct_subgroup()
+    crs2 = CurdleproofsCrs.from_json(crs.to_json())
+    assert crs2.G_sum == crs.G_sum and crs2.H_sum == crs.H_sum
+
+    rng = StdRng.seed_from_u64(0)
+    trackers = [WhiskTracker.from_rand(rng) for _ in range(n - N_BLINDERS)]
+    post, proof = generate_whisk_shuffle_proof(rng, crs, trackers)
+    assert len(proof) == 4496
+    assert is_valid_whisk_shuffle_proof(rng, crs, trackers, post, proof)
+
+
 def test_readme_example():
     """The README quick-start runs as written (reference doctests its README)."""
     import pathlib
