@@ -171,8 +171,10 @@ def bench_msm_throughput(log_n: int):
 def bench_speed_of_light():
     """Marginal Pallas kernel rates vs the VPU integer ceiling.
 
-    Ceiling model: 8x128 int32 lanes/cycle at ~940 MHz =~ 0.96e12 vec-ops/s.
-    One Montgomery fq_mul is ~2300 straight-line vector ops (24x24 products
+    Ceiling model: 8x128 int32 lanes/cycle at the v5e's ~1.67 GHz =
+    ~1.71e12 vec-ops/s (single-issue; the VPU can dual-issue some op mixes,
+    so >100% readings mean the mix beats the conservative model).  One
+    Montgomery fq_mul is ~2300 straight-line vector ops (24x24 products
     hi+lo, CIOS reduction, carries); one complete G1 add is 12 fq_mul + 4
     cheap b3-adds =~ 29k vec-ops.
     """
@@ -193,8 +195,10 @@ def bench_speed_of_light():
     def sync(x):
         np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
 
-    # marginal cost via k-rep difference (the tunnel sync floor is ~33 ms)
-    def marginal(make, reps=(1, 5)):
+    # marginal cost over LONG dependent chains (lax.fori inside one jit) so
+    # the ~33 ms tunnel sync floor and run-to-run noise cancel out of the
+    # two-point estimate.
+    def marginal(make, reps=(32, 256)):
         outs = []
         for kreps in reps:
             f = jax.jit(make(kreps))
@@ -205,27 +209,24 @@ def bench_speed_of_light():
                 sync(f(a))
                 ts.append(time.perf_counter() - t0)
             outs.append(min(ts))
-        return (outs[1] - outs[0]) / (reps[1] - reps[0])
+        return max(outs[1] - outs[0], 1e-9) / (reps[1] - reps[0])
 
     def mk_mul(kreps):
         def f(x):
-            y = x
-            for _ in range(kreps):
-                y = fq_mul_pallas(y, x)
-            return y
+            return jax.lax.fori_loop(
+                0, kreps, lambda i, y: fq_mul_pallas(y, x), x)
         return f
 
     def mk_add(kreps):
         def f(x):
-            p = PointsXYZ(x, x, x)
-            for _ in range(kreps):
-                p = g1_add_pallas_flat(p, PointsXYZ(x, x, x), (n,))
-            return p
+            q = PointsXYZ(x, x, x)
+            return jax.lax.fori_loop(
+                0, kreps, lambda i, p: g1_add_pallas_flat(p, q, (n,)), q)
         return f
 
     mul_s = marginal(mk_mul)
     add_s = marginal(mk_add)
-    vpu_ops = 0.96e12
+    vpu_ops = 1.71e12
     mul_rate = n / mul_s
     add_rate = n / add_s
     return {
@@ -233,7 +234,7 @@ def bench_speed_of_light():
         "fq_mul_pct_of_sol": round(100 * mul_rate / (vpu_ops / 2300), 1),
         "g1_add_M_per_s": round(add_rate / 1e6, 2),
         "g1_add_pct_of_sol": round(100 * add_rate / (vpu_ops / 29000), 1),
-        "sol_model": "0.96e12 int32 VPU lane-ops/s; fq_mul~2300, g1_add~29000 ops",
+        "sol_model": "1.71e12 int32 VPU lane-ops/s (8x128 @ 1.67GHz); fq_mul~2300, g1_add~29000 ops",
     }
 
 

@@ -36,9 +36,14 @@ class HybridBackend(Backend):
 
     name = "hybrid"
 
-    def __init__(self, device_msm_threshold: int = 1024):
+    def __init__(self, device_msm_threshold: int = 1 << 16):
         from ..backend import HostBackend
 
+        # Measured crossover (bench_msm_results.jsonl): the device pipeline
+        # beats the host C++ from 2^16 with device-resident bases; below
+        # that the ~33 ms sync + 14 MB/s upload floor favours the host.
+        # Fresh-base MSMs also pay the 96 B/point base upload, so the
+        # threshold is the resident-bases crossover, not 2^14.
         self._host = HostBackend()
         self.device_msm_threshold = device_msm_threshold
 

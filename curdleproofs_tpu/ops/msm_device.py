@@ -44,8 +44,7 @@ from ..constants import Q, R
 from ..host.g1 import G1
 from .field import FQ
 from .g1_ops import (
-    PointsXYZ, _g1_add_jnp, g1_double, g1_infinity, points_to_device,
-    use_pallas,
+    PointsXYZ, _g1_add_jnp, g1_infinity, points_to_device, use_pallas,
 )
 from .limbs import int_to_limbs
 
@@ -204,23 +203,6 @@ def _take1(arr, idx):
     take (2-D index arrays send XLA:TPU down a pathological >3 min compile)."""
     flat = jnp.take(arr, idx.reshape(-1), axis=1)
     return flat.reshape(arr.shape[0], *idx.shape)
-
-
-def _tree_reduce_g(pts: PointsXYZ, w: int, g: int, pallas: bool) -> PointsXYZ:
-    """[24, w*g] viewed as [24, w, g] -> sum over g -> [24, w]."""
-    x, y, z = (a.reshape(a.shape[0], w, g) for a in pts)
-    while g > 1:
-        h = g // 2
-        a = PointsXYZ(x[..., :h].reshape(x.shape[0], -1),
-                      y[..., :h].reshape(y.shape[0], -1),
-                      z[..., :h].reshape(z.shape[0], -1))
-        b = PointsXYZ(x[..., h:g].reshape(x.shape[0], -1),
-                      y[..., h:g].reshape(y.shape[0], -1),
-                      z[..., h:g].reshape(z.shape[0], -1))
-        s = _dev_add(a, b, pallas)
-        x, y, z = (v.reshape(v.shape[0], w, h) for v in s)
-        g = h
-    return PointsXYZ(x[..., 0], y[..., 0], z[..., 0])
 
 
 def _signed_digits(limbs, n: int, c: int):
@@ -419,33 +401,46 @@ def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
 
         tg, lw = lax.fori_loop(0, cb, p3_step, (vinf((wg,)), vinf((wg,))))
 
-    # Hillis-Steele suffix over chunks g within each window: U_g = sum_{h>=g} T_h
+    # Hillis-Steele suffix over chunks g within each window: U_g = sum_{h>=g} T_h.
+    # NOTE on op instancing: every cross-point add below reuses ONE traced
+    # pallas-add instance per shape ([24, wg] here, [24, W] later) — tracing
+    # a pallas add is ~28k python-level ops, and distinct instances were the
+    # bulk of the per-process lowering time.  Sums over g therefore run as a
+    # second suffix scan (element g=0 of a suffix scan IS the sum) instead
+    # of a log-tree of shrinking shapes, and the *Cb doubling chain uses the
+    # complete add (P+P is exception-free by construction).
     wgidx = jnp.arange(wg, dtype=jnp.int32)
     gpos = wgidx % g_chunks
-    u = tg
-    stride = 1
-    while stride < g_chunks:
-        partner = jnp.minimum(wgidx + stride, wg - 1)
-        mask = (gpos + stride < g_chunks)[None]
-        q = PointsXYZ(jnp.take(u.x, partner, axis=1),
-                      jnp.take(u.y, partner, axis=1),
-                      jnp.take(u.z, partner, axis=1))
-        s = _dev_add(u, q, pallas)
-        u = PointsXYZ(jnp.where(mask, s.x, u.x),
-                      jnp.where(mask, s.y, u.y),
-                      jnp.where(mask, s.z, u.z))
-        stride *= 2
 
-    usum = _tree_reduce_g(u, w_cnt, g_chunks, pallas)
-    lwsum = _tree_reduce_g(lw, w_cnt, g_chunks, pallas)
-    u0 = PointsXYZ(u.x.reshape(-1, w_cnt, g_chunks)[..., 0],
-                   u.y.reshape(-1, w_cnt, g_chunks)[..., 0],
-                   u.z.reshape(-1, w_cnt, g_chunks)[..., 0])
+    def suffix_over_g(v):
+        stride = 1
+        while stride < g_chunks:
+            partner = jnp.minimum(wgidx + stride, wg - 1)
+            mask = (gpos + stride < g_chunks)[None]
+            q = PointsXYZ(jnp.take(v.x, partner, axis=1),
+                          jnp.take(v.y, partner, axis=1),
+                          jnp.take(v.z, partner, axis=1))
+            s = _dev_add(v, q, pallas)
+            v = PointsXYZ(jnp.where(mask, s.x, v.x),
+                          jnp.where(mask, s.y, v.y),
+                          jnp.where(mask, s.z, v.z))
+            stride *= 2
+        return v
+
+    def at_g0(v):
+        return PointsXYZ(v.x.reshape(-1, w_cnt, g_chunks)[..., 0],
+                         v.y.reshape(-1, w_cnt, g_chunks)[..., 0],
+                         v.z.reshape(-1, w_cnt, g_chunks)[..., 0])
+
+    u = suffix_over_g(tg)
+    usum = at_g0(suffix_over_g(u))
+    lwsum = at_g0(suffix_over_g(lw))
+    u0 = at_g0(u)
     # sum_g g*T_g = sum_{g>=1} U_g = usum - u0 ; window = lwsum + Cb*(that)
     s2 = _dev_add(usum, PointsXYZ(u0.x, FQ.neg(u0.y), u0.z), pallas)
     k = cb
     while k > 1:
-        s2 = g1_double(s2)
+        s2 = _dev_add(s2, s2, pallas)
         k //= 2
     wsum = _dev_add(lwsum, s2, pallas)
 
