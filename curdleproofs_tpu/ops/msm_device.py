@@ -293,36 +293,28 @@ def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
     gslot = jnp.where(live_s & (slot_in_w >= 0),
                       slot_in_w + w_off[:, None], -1)
 
-    # -- 6. slot tables (ONE scatter; gathers elsewhere) -------------------
-    p_flat = (p + jnp.arange(w_cnt, dtype=jnp.int32)[:, None] * n).reshape(-1)
-    scat = jnp.where(newslot, gslot, s_pad).reshape(-1)
-    slot_pos = jnp.full((s_pad,), _BIG, jnp.int32).at[scat].set(
-        p_flat, mode="drop")
-    slot_alive = slot_pos < _BIG
-    gkey_flat = jnp.where(
-        live_s, key_s + jnp.arange(w_cnt, dtype=jnp.int32)[:, None] * b_cnt,
-        wb + 7).reshape(-1)
-    slot_gkey = jnp.where(
-        slot_alive,
-        jnp.take(gkey_flat, jnp.minimum(slot_pos, w_cnt * n - 1)), wb + 9)
-
-    # -- 7. fold plan [T, s_pad] into the extended points ------------------
-    # One -1 pad entry: out-of-run rows clip onto it and fail the slot-id
-    # check.  (Clipping to W*n-1 instead silently DOUBLE-COUNTS the final
-    # entry whenever the last sorted entry of the top window is live — its
-    # slot id equals the clipped row's, so up to T-1 phantom adds passed
-    # validation.)
-    gslot_flat = jnp.concatenate(
-        [gslot.reshape(-1), jnp.full((1,), -1, jnp.int32)])
-    e_flat = jnp.concatenate(
-        [e_s.reshape(-1), jnp.zeros((1,), jnp.int32)])
-    pos = slot_pos[None, :] + lax.broadcasted_iota(
-        jnp.int32, (t_rows, s_pad), 0)
-    pos_c = jnp.minimum(pos, w_cnt * n).reshape(-1)
-    s_iota = lax.broadcasted_iota(jnp.int32, (t_rows, s_pad), 1)
-    valid = jnp.take(gslot_flat, pos_c).reshape(t_rows, s_pad) == s_iota
-    plan = jnp.where(valid, jnp.take(e_flat, pos_c).reshape(t_rows, s_pad),
-                     2 * n)
+    # -- 6+7. fold plan and slot tables, all SCATTER-built ------------------
+    # Every live entry owns exactly one plan cell (row = rank mod T,
+    # slot = its bucket-chunk), so the plan is one 2.1M-entry scatter; cells
+    # nothing writes stay the infinity sentinel — no validity logic.  (A
+    # previous gather-based formulation cost ~77 ms at 2^16 in clipped
+    # gathers + compares, vs ~10 ms for the scatter, and needed a subtle
+    # sentinel pad to avoid double-counting the last sorted entry.)
+    live_cell = live_s & (gslot >= 0)
+    row = r_in_run % t_rows
+    dest = jnp.where(live_cell, row * s_pad + gslot,
+                     t_rows * s_pad).reshape(-1)
+    plan = jnp.full((t_rows * s_pad,), 2 * n, jnp.int32).at[dest].set(
+        e_s.reshape(-1), mode="drop").reshape(t_rows, s_pad)
+    gkey = key_s + jnp.arange(w_cnt, dtype=jnp.int32)[:, None] * b_cnt
+    sdest = jnp.where(live_cell, gslot, s_pad).reshape(-1)
+    # duplicates write the same value (all entries of a slot share its key)
+    slot_gkey = jnp.full((s_pad,), wb + 9, jnp.int32).at[sdest].set(
+        gkey.reshape(-1), mode="drop")
+    # first (minimum) slot per key, for the dense-bucket gather
+    kdest = jnp.where(live_cell, gkey, wb).reshape(-1)
+    firstmap = jnp.full((wb,), _BIG, jnp.int32).at[kdest].min(
+        gslot.reshape(-1), mode="drop")
 
     # -- 8. bucket fold (the hot kernel) -----------------------------------
     if pallas:
@@ -330,7 +322,10 @@ def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
 
         gx = _take1(ext_x, plan)
         gy = _take1(ext_y, plan)
-        gz = _take1(ext_z, plan)
+        # z of every extended point is 1 (affine) or 0 (the sentinel row):
+        # reconstruct it from the plan instead of a third 260 MB gather
+        gz = jnp.where((plan == 2 * n)[None], jnp.uint32(0),
+                       FQ.const(1, (1, 1)))
         acc = PointsXYZ(*g1_fold_rows_pallas(gx, gy, gz))
     else:
         def fold_step(a, row):
@@ -365,10 +360,6 @@ def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
         lambda st: st[0] < kmax, mbody, (jnp.int32(1), *acc))
 
     # -- 10. dense buckets, laid out [24, Cb, W*G] for the reduction -------
-    first = slot_alive & jnp.concatenate(
-        [jnp.ones(1, bool), slot_gkey[1:] != slot_gkey[:-1]])
-    firstmap = jnp.full((wb,), _BIG, jnp.int32).at[
-        jnp.where(first, slot_gkey, wb)].set(sidx, mode="drop")
     j_i = lax.broadcasted_iota(jnp.int32, (cb, wg), 0)
     wg_i = lax.broadcasted_iota(jnp.int32, (cb, wg), 1)
     kk = (wg_i // g_chunks) * b_cnt + (wg_i % g_chunks) * cb + j_i
