@@ -48,10 +48,17 @@ class HybridBackend(Backend):
         self.device_msm_threshold = device_msm_threshold
 
     def msm(self, points, scalars):
-        if len(points) >= self.device_msm_threshold:
-            from .msm_device import msm_device
+        n = len(points)
+        if n >= self.device_msm_threshold:
+            from .msm_device import _BASES_CACHE, msm_device
 
-            return msm_device(points, scalars)
+            hit = _BASES_CACHE.get(id(points))
+            resident = hit is not None and hit[0] is points
+            # fresh bases pay ~96 B/point upload at ~14 MB/s + host packing,
+            # which the device only out-earns from ~2^19; resident bases
+            # win from the 2^16 crossover
+            if resident or n >= (1 << 19):
+                return msm_device(points, scalars)
         return self._host.msm(points, scalars)
 
     def batch_mul(self, points, scalar):
