@@ -13,4 +13,27 @@ Layout:
 
 from .constants import N_BLINDERS  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (importing jax/the native lib only when used)."""
+    if name in ("CurdleproofsProof", "generate_crs"):
+        from . import curdleproofs as _m
+
+        return getattr(_m, name)
+    if name == "CurdleproofsCrs":
+        from .crs import CurdleproofsCrs
+
+        return CurdleproofsCrs
+    if name in ("WhiskTracker", "generate_whisk_shuffle_proof",
+                "is_valid_whisk_shuffle_proof", "generate_whisk_tracker_proof",
+                "is_valid_whisk_tracker_proof"):
+        from . import whisk as _m
+
+        return getattr(_m, name)
+    if name == "StdRng":
+        from .host.rng import StdRng
+
+        return StdRng
+    raise AttributeError(name)
