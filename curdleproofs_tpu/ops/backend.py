@@ -41,7 +41,7 @@ class HybridBackend(Backend):
 
         # Measured crossover (bench_msm_results.jsonl): the device pipeline
         # beats the host C++ from 2^16 with device-resident bases; below
-        # that the ~33 ms sync + 14 MB/s upload floor favours the host.
+        # that the ~33 ms sync + ~80 ms-fixed upload floor favours the host.
         # Fresh-base MSMs also pay the 96 B/point base upload, so the
         # threshold is the resident-bases crossover, not 2^14.
         self._host = HostBackend()
@@ -54,7 +54,7 @@ class HybridBackend(Backend):
 
             hit = _BASES_CACHE.get(id(points))
             resident = hit is not None and hit[0] is points
-            # fresh bases pay ~96 B/point upload at ~14 MB/s + host packing,
+            # fresh bases pay ~96 B/point upload over the slow link + host packing,
             # which the device only out-earns from ~2^19; resident bases
             # win from the 2^16 crossover
             if resident or n >= (1 << 19):

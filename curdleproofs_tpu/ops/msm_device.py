@@ -10,7 +10,8 @@ W-term Horner ladder.  Replaces arkworks `VariableBaseMSM`
 config 3 (the 2^10..2^20 sweep).
 
 Design notes (constraints measured on the target platform, round 2):
-- The host<->device link runs ~14 MB/s with ~33 ms per blocking sync, so the
+- Host<->device uploads cost ~80 ms fixed + ~45 MB/s, with ~33 ms per
+  blocking sync, so the
   v1 design (numpy plan built on host, 13-25 MB plan upload, per-slot
   download) was transfer-bound: plan build + upload alone cost ~3 s at 2^16.
   v2 transfers 32 B per scalar up and ~3 kB down.
@@ -139,7 +140,7 @@ def _extend_pm(pts: PointsXYZ) -> PointsXYZ:
 class DeviceBases:
     """Bases uploaded once and kept device-resident as [P | -P | inf].
 
-    Uploading n points costs ~96 B/point over a ~14 MB/s link plus host-side
+    Uploading n points costs ~96 B/point over a slow link plus host-side
     packing, so repeated MSMs over the same bases (the dominant pattern: CRS
     vectors) must reuse this object.  `msm_device` accepts it in place of the
     point list.  The wrapped list is padded with the identity up to

@@ -111,7 +111,8 @@ def main() -> None:
     ss = [rnd.randrange(R) for _ in range(n)]
     for d in (1, 2, 4, 8):
         nn = n // d
-        pts = base_pts[:nn]
+        tiles = -(-nn // len(base_pts))
+        pts = (base_pts * tiles)[:nn]
         sub = ss[:nn]
         bases = md.prepare_bases(pts)
         md.msm_device(bases, sub)  # compile + warm
