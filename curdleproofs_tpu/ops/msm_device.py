@@ -124,17 +124,33 @@ def pick_window_device(n: int) -> int:
 # device-resident bases
 # --------------------------------------------------------------------------
 
+def _pack_rows(a):
+    """[24, m] uint32 16-bit limbs -> [12, m] uint32 limb PAIRS (halves the
+    HBM footprint and the gather traffic feeding the fold kernel)."""
+    return a[0::2] | (a[1::2] << 16)
+
+
+def _unpack_rows(a):
+    """[12, *b] limb pairs -> [24, *b] limbs."""
+    lo = a & jnp.uint32(0xFFFF)
+    hi = a >> 16
+    return jnp.stack([lo, hi], axis=1).reshape(2 * a.shape[0], *a.shape[1:])
+
+
 @jax.jit
-def _extend_pm(pts: PointsXYZ) -> PointsXYZ:
-    """[P] -> [P | -P | inf]: row i+n is -P_i (negated Y), row 2n is the
-    plan's dead-slot sentinel (the identity)."""
+def _extend_packed(pts: PointsXYZ):
+    """[P] -> packed [P | -P | inf]: (px, py) limb-pair arrays [12, 2n+1]
+    plus a z liveness bit [2n+1] (every extended point has z = 1 or 0; the
+    last column is the plan's dead-slot sentinel, the identity)."""
     yn = FQ.neg(pts.y)
     inf = g1_infinity((1,))
-    return PointsXYZ(
-        jnp.concatenate([pts.x, pts.x, inf.x], axis=1),
-        jnp.concatenate([pts.y, yn, inf.y], axis=1),
-        jnp.concatenate([pts.z, pts.z, inf.z], axis=1),
-    )
+    px1 = _pack_rows(pts.x)
+    px = jnp.concatenate([px1, px1, _pack_rows(inf.x)], axis=1)
+    py = jnp.concatenate([_pack_rows(pts.y), _pack_rows(yn),
+                          _pack_rows(inf.y)], axis=1)
+    zb = jnp.any(pts.z != 0, axis=0).astype(jnp.uint32)
+    zbit = jnp.concatenate([zb, zb, jnp.zeros((1,), jnp.uint32)])
+    return px, py, zbit
 
 
 class DeviceBases:
@@ -151,7 +167,8 @@ class DeviceBases:
         self.n_real = len(points)
         self.n = pad_n(len(points))
         padded = points + [G1.infinity()] * (self.n - len(points))
-        self.ext = _extend_pm(points_to_device(padded))
+        self.ext_px, self.ext_py, self.ext_zb = _extend_packed(
+            points_to_device(padded))
 
 
 _BASES_CACHE: dict[int, tuple] = {}
@@ -242,16 +259,17 @@ def _phase3_chunks(c: int, w_cnt: int) -> tuple[int, int]:
 
 @functools.partial(
     jax.jit, static_argnames=("n", "c", "t_rows", "s_pad", "pallas"))
-def _msm_pipeline(ext_x, ext_y, ext_z, limbs, *, n, c, t_rows, s_pad, pallas):
+def _msm_pipeline(ext_px, ext_py, ext_zb, limbs, *, n, c, t_rows, s_pad,
+                  pallas):
     """limbs: [16, n] uint32 scalar limbs -> [3, 24, W] canonical projective
     window sums (host finishes with the W-term Horner ladder)."""
     digits = _signed_digits(limbs, n, c)
-    return _pipeline_core(ext_x, ext_y, ext_z, digits, n=n, c=c,
+    return _pipeline_core(ext_px, ext_py, ext_zb, digits, n=n, c=c,
                           w_cnt=-(-255 // c), t_rows=t_rows, s_pad=s_pad,
                           pallas=pallas)
 
 
-def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
+def _pipeline_core(ext_px, ext_py, ext_zb, digits, *, n, c, w_cnt, t_rows,
                    s_pad, pallas):
     """Window sums for `w_cnt` windows of signed digits [w_cnt, n] over the
     extended points [P | -P | inf].  Shared by the single-chip jit and the
@@ -264,7 +282,7 @@ def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
 
     # mesh-varying zero: loop carries initialised from constants would be
     # 'replicated' under shard_map and clash with device-varying loop bodies
-    vzero = ext_x[0, 0] * 0 + digits[0, 0].astype(jnp.uint32) * 0
+    vzero = ext_px[0, 0] * 0 + digits[0, 0].astype(jnp.uint32) * 0
 
     def vinf(shape):
         i = g1_infinity(shape)
@@ -318,22 +336,24 @@ def _pipeline_core(ext_x, ext_y, ext_z, digits, *, n, c, w_cnt, t_rows,
         gslot.reshape(-1), mode="drop")
 
     # -- 8. bucket fold (the hot kernel) -----------------------------------
+    # x/y gather in packed limb-pair form (half the bytes of unpacked limbs);
+    # z is a 1-bit liveness gather (covers input infinities AND the sentinel)
     if pallas:
-        from .pallas_kernels import g1_fold_rows_pallas
+        from .pallas_kernels import g1_fold_rows_packed_pallas
 
-        gx = _take1(ext_x, plan)
-        gy = _take1(ext_y, plan)
-        # z of every extended point is 1 (affine) or 0 (the sentinel row):
-        # reconstruct it from the plan instead of a third 260 MB gather
-        gz = jnp.where((plan == 2 * n)[None], jnp.uint32(0),
-                       FQ.const(1, (1, 1)))
-        acc = PointsXYZ(*g1_fold_rows_pallas(gx, gy, gz))
+        gx = _take1(ext_px, plan)
+        gy = _take1(ext_py, plan)
+        gzb = jnp.take(ext_zb, plan.reshape(-1)).reshape(t_rows, s_pad)
+        acc = PointsXYZ(*g1_fold_rows_packed_pallas(gx, gy, gzb))
     else:
+        one_col = FQ.const(1, (1,))
+
         def fold_step(a, row):
-            q = PointsXYZ(jnp.take(ext_x, row, axis=1),
-                          jnp.take(ext_y, row, axis=1),
-                          jnp.take(ext_z, row, axis=1))
-            return _g1_add_jnp(a, q), None
+            qx = _unpack_rows(jnp.take(ext_px, row, axis=1))
+            qy = _unpack_rows(jnp.take(ext_py, row, axis=1))
+            zb = jnp.take(ext_zb, row)
+            qz = jnp.where(zb[None] != 0, one_col, jnp.uint32(0))
+            return _g1_add_jnp(a, PointsXYZ(qx, qy, qz)), None
 
         acc, _ = lax.scan(fold_step, vinf((s_pad,)), plan)
 
@@ -491,7 +511,7 @@ def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
     assert params.n == bases.n, "bases padded under a different shape family"
     limbs = jnp.asarray(_scalars_to_limbs(scalars, params.n))
     out = _msm_pipeline(
-        bases.ext.x, bases.ext.y, bases.ext.z, limbs,
+        bases.ext_px, bases.ext_py, bases.ext_zb, limbs,
         n=params.n, c=params.c, t_rows=params.t_rows, s_pad=params.s_pad,
         pallas=use_pallas())
     win = _window_sums_to_host(np.asarray(out))

@@ -238,6 +238,62 @@ def _g1_fold_rows_kernel(x_ref, y_ref, z_ref, ox, oy, oz):
     _store_point((ox, oy, oz), acc)
 
 
+def _g1_fold_rows_packed_kernel(px_ref, py_ref, zb_ref, ox, oy, oz):
+    """Packed twin of _g1_fold_rows_kernel: x/y arrive as 12 uint32 rows of
+    16-bit limb PAIRS (halving the gather traffic that feeds the fold) and z
+    as a per-entry liveness bit (z of every extended point is 1 or 0)."""
+    j = pl.program_id(1)
+    first = j == 0
+    width = px_ref.shape[2]
+    acc_x = [jnp.where(first, jnp.zeros((width,), jnp.uint32), ox[i, :])
+             for i in range(L)]
+    acc_y = [jnp.where(first, jnp.full((width,), _ONE_MONT[i], jnp.uint32),
+                       oy[i, :]) for i in range(L)]
+    acc_z = [jnp.where(first, jnp.zeros((width,), jnp.uint32), oz[i, :])
+             for i in range(L)]
+    acc = (acc_x, acc_y, acc_z)
+
+    def unpack(ref, t):
+        rows = []
+        for k in range(L // 2):
+            v = ref[k, t, :]
+            rows.append(v & 0xFFFF)
+            rows.append(v >> 16)
+        return rows
+
+    def body(t, acc):
+        zb = zb_ref[t, :] != 0
+        qz = [jnp.where(zb, jnp.uint32(_ONE_MONT[i]), jnp.uint32(0))
+              for i in range(L)]
+        q = (unpack(px_ref, t), unpack(py_ref, t), qz)
+        return _k_g1_add(acc, q)
+
+    acc = jax.lax.fori_loop(0, _T_BLK, body, acc)
+    _store_point((ox, oy, oz), acc)
+
+
+@jax.jit
+def g1_fold_rows_packed_pallas(px, py, zb):
+    """px, py: [12, T, S] uint32 limb-pairs; zb: [T, S] uint32 liveness ->
+    folded [L, S] x3 (Montgomery)."""
+    _, t_rows, n = px.shape
+    spec_in = pl.BlockSpec((L // 2, _T_BLK, _BLOCK), lambda i, j: (0, j, i),
+                           memory_space=pltpu.VMEM)
+    spec_zb = pl.BlockSpec((_T_BLK, _BLOCK), lambda i, j: (j, i),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((L, _BLOCK), lambda i, j: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = tuple(jax.ShapeDtypeStruct((L, n), jnp.uint32)
+                      for _ in range(3))
+    return pl.pallas_call(
+        _g1_fold_rows_packed_kernel,
+        out_shape=out_shape,
+        grid=(n // _BLOCK, t_rows // _T_BLK),
+        in_specs=[spec_in, spec_in, spec_zb],
+        out_specs=(spec_out, spec_out, spec_out),
+    )(px, py, zb)
+
+
 @jax.jit
 def g1_fold_rows_pallas(x, y, z):
     """x, y, z: [L, T, S] (S mult of 512, T mult of 8) -> folded [L, S].

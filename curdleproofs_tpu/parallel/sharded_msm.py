@@ -66,17 +66,21 @@ def _sharded_step(pts, limbs, *, mesh, n_local, c, w_local, t_rows, s_pad,
     w_total = -(-255 // c)
 
     def local(px, py, pz, lb):
-        # extend the local shard to [P | -P | inf]
-        inf = g1_infinity((1,))
+        # extend the local shard to packed [P | -P | inf] + z liveness bits
         from ..ops.field import FQ
+        from ..ops.msm_device import _pack_rows
 
-        ext_x = jnp.concatenate([px, px, inf.x], axis=1)
-        ext_y = jnp.concatenate([py, FQ.neg(py), inf.y], axis=1)
-        ext_z = jnp.concatenate([pz, pz, inf.z], axis=1)
+        inf = g1_infinity((1,))
+        ppx = _pack_rows(px)
+        ext_px = jnp.concatenate([ppx, ppx, _pack_rows(inf.x)], axis=1)
+        ext_py = jnp.concatenate([_pack_rows(py), _pack_rows(FQ.neg(py)),
+                                  _pack_rows(inf.y)], axis=1)
+        zb = jnp.any(pz != 0, axis=0).astype(jnp.uint32)
+        ext_zb = jnp.concatenate([zb, zb, jnp.zeros((1,), jnp.uint32)])
         digits = _signed_digits(lb, n_local, c)           # all windows
         j = lax.axis_index("windows")
         mine = lax.dynamic_slice_in_dim(digits, j * w_local, w_local, axis=0)
-        out = _pipeline_core(ext_x, ext_y, ext_z, mine, n=n_local, c=c,
+        out = _pipeline_core(ext_px, ext_py, ext_zb, mine, n=n_local, c=c,
                              w_cnt=w_local, t_rows=t_rows, s_pad=s_pad,
                              pallas=pallas)
         return out[None, None]                            # [1, 1, 3, 24, Wl]
