@@ -43,6 +43,18 @@ BASELINES_MS = {  # README.md:47-49 (prove, verify, shuffle)
 }
 
 
+def _pick_backend():
+    """Resolve the benchmark's backend explicitly: hybrid when a real TPU is
+    attached (device Pippenger for big MSMs), host otherwise — and NAME the
+    choice in the artifact so every phase's engine is on record."""
+    from curdleproofs_tpu.backend import set_backend
+    from curdleproofs_tpu.ops.backend import auto_backend
+
+    b = auto_backend()
+    set_backend(b)
+    return b
+
+
 def bench_protocol(ell: int, repeats: int, batch: int):
     from curdleproofs_tpu.backend import get_backend
     from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
@@ -251,6 +263,7 @@ def main():
                     help="capture a jax.profiler trace of the device MSM")
     args = ap.parse_args()
     _enable_compile_cache()
+    backend = _pick_backend()
 
     shuffle_ms, prove_ms, verify_ms, batch_stats = bench_protocol(
         args.ell, args.repeats, args.batch)
@@ -259,6 +272,7 @@ def main():
 
     extra = {
         "ell": args.ell,
+        "backend": backend.name,
         "verify_ms": round(verify_ms, 2),
         "verify_vs_baseline": round(base_verify / verify_ms, 3),
         "shuffle_ms": round(shuffle_ms, 2),

@@ -146,22 +146,65 @@ def _pippenger(points: list[G1], scalars: list[int], window: int | None = None) 
 
 
 def _backend_from_env() -> Backend:
+    """Resolve CURDLEPROOFS_BACKEND: host | tpu | hybrid | pure | auto.
+
+    `auto` (the default) picks HybridBackend — latency ops on the native host
+    runtime, big MSMs on the device Pippenger — when the process has ALREADY
+    INITIALIZED a jax backend and it is a real TPU; otherwise the host path.
+    The initialized-check (not merely `jax in sys.modules`: this image's
+    sitecustomize preloads jax into every interpreter) keeps host-only
+    programs — e.g. the whisk consensus codepath — from paying the ~20 s
+    device init just to dispatch 100-point MSMs.  Programs that want the
+    device decide by touching it first (`jax.devices()`), setting the env
+    var, or calling `set_backend(auto_backend())`.
+    """
     import os
 
-    name = os.environ.get("CURDLEPROOFS_BACKEND", "host").lower()
-    if name in ("tpu", "hybrid"):
+    name = os.environ.get("CURDLEPROOFS_BACKEND", "auto").lower()
+    if name == "hybrid":
+        from .ops.backend import HybridBackend
+
+        return HybridBackend()
+    if name == "tpu":
         from .ops.backend import TpuBackend
 
         return TpuBackend()
     if name in ("pure", "python", "pure-python"):
         return PurePythonBackend()
+    if name == "auto" and _jax_backend_initialized():
+        import jax
+
+        if jax.default_backend() in ("tpu", "axon"):
+            from .ops.backend import HybridBackend
+
+            return HybridBackend()
     return HostBackend()
 
 
-_active: Backend = _backend_from_env()
+def _jax_backend_initialized() -> bool:
+    """True iff the process has already created a jax device backend (a
+    probe that must NOT itself trigger the expensive initialization)."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return False
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:
+        return False
+
+
+_active: Backend | None = None
 
 
 def get_backend() -> Backend:
+    # resolved lazily (not at import) so `auto` sees whether the program
+    # imported jax before its first group operation
+    global _active
+    if _active is None:
+        _active = _backend_from_env()
     return _active
 
 

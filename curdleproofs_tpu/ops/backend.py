@@ -12,18 +12,11 @@ import jax.numpy as jnp
 from ..backend import Backend
 from ..constants import R
 from ..host.g1 import G1
-from .g1_ops import PointsXYZ, points_from_device, points_to_device
+from .g1_ops import points_from_device, points_to_device
 from .limbs import ints_to_bits
-from .msm import NBITS, batch_mul_each_jit, batch_mul_jit, fold_jit, msm_jit
+from .msm import NBITS, batch_mul_each_jit, batch_mul_jit, fold_jit
 
 __all__ = ["TpuBackend", "HybridBackend", "auto_backend"]
-
-
-def _pad_pow2(n: int, floor: int = 8) -> int:
-    m = floor
-    while m < n:
-        m *= 2
-    return m
 
 
 class HybridBackend(Backend):
@@ -105,17 +98,16 @@ class TpuBackend(Backend):
 
     # --- primitives --------------------------------------------------------
     def msm(self, points: list[G1], scalars: list[int]) -> G1:
+        """Device Pippenger (ops/msm_device.py) — the only MSM engine on this
+        backend; bases ride the `prepare_bases` id-cache across calls."""
         n = len(points)
         if n == 0:
             return G1.infinity()
         if n < self.min_device_size:
             return self._host_backend().msm(points, scalars)
-        m = _pad_pow2(n)
-        pts = points_to_device(points + [G1.infinity()] * (m - n))
-        bits = jnp.asarray(ints_to_bits(list(scalars) + [0] * (m - n), NBITS))
-        out = msm_jit(pts, bits)
-        return points_from_device(
-            PointsXYZ(out.x[:, None], out.y[:, None], out.z[:, None]))[0]
+        from .msm_device import msm_device
+
+        return msm_device(points, list(scalars))
 
     def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
         n = len(points)
