@@ -54,6 +54,9 @@ def lib() -> ctypes.CDLL | None:
                              ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
                              ctypes.c_char_p],
         "cp_batch_normalize": [ctypes.c_char_p, ctypes.c_uint64],
+        "cp_export_mont_affine": [ctypes.c_char_p, ctypes.c_uint64,
+                                  ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_char_p],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
@@ -170,6 +173,43 @@ def batch_to_affine(points: list[G1]) -> list[tuple[int, int] | None]:
             out.append((int.from_bytes(raw[o : o + 48], "little"),
                         int.from_bytes(raw[o + 48 : o + 96], "little")))
     return out
+
+
+def export_mont_affine(points: list[G1], n_pad: int):
+    """Affine Montgomery limbs for the device upload path.
+
+    Returns (px, py, zb): px/py are [12, n_pad] uint32 packed 16-bit limb
+    PAIRS of the Montgomery residues (the device MSM's resident layout,
+    ops/msm_device.py `_pack_rows`), zb a [n_pad] uint32 liveness bit.
+    Padding columns are the identity's representation (x=0, y=1_mont, zb=0).
+    Host R = 2^384 = the device Montgomery radix, so no form change anywhere.
+    """
+    import numpy as np
+
+    n = len(points)
+    ox = ctypes.create_string_buffer(48 * n)
+    oy = ctypes.create_string_buffer(48 * n)
+    ozb = ctypes.create_string_buffer(n)
+    lib().cp_export_mont_affine(pts_to_bytes(points), n, ox, oy, ozb)
+
+    def pack(buf, pad_value: int) -> np.ndarray:
+        a = np.frombuffer(buf.raw, dtype="<u2").reshape(n, 24)
+        out = np.empty((12, n_pad), dtype=np.uint32)
+        lo = a[:, 0::2].astype(np.uint32)
+        hi = a[:, 1::2].astype(np.uint32)
+        out[:, :n] = (lo | (hi << 16)).T
+        if n_pad > n:
+            pv = np.empty(12, dtype=np.uint32)
+            for i in range(12):
+                pv[i] = pad_value & 0xFFFFFFFF
+                pad_value >>= 32
+            out[:, n:] = pv[:, None]
+        return out
+
+    one_mont = (1 << 384) % Q
+    zb = np.zeros(n_pad, dtype=np.uint32)
+    zb[:n] = np.frombuffer(ozb.raw, dtype=np.uint8)
+    return pack(ox, 0), pack(oy, one_mont), zb
 
 
 def batch_mul_glv(points: list[G1], scalar: int) -> list[G1]:

@@ -877,6 +877,33 @@ void cp_batch_normalize(uint8_t *points_inout, uint64_t n) {
     for (uint64_t i = 0; i < n; ++i) store_g1(pts[i], points_inout + 144 * i);
 }
 
+// Export n Jacobian points as affine MONTGOMERY-form limb blocks for the
+// device MSM upload path: out_x/out_y get 48 LE bytes per point of the raw
+// Montgomery residue (host R = 2^384 = the device limb radix^24, so the
+// residues transfer without any form change), out_zb one liveness byte.
+// Skips the two from_mont muls per coordinate that store_g1 would pay and
+// lets the device skip its to-Montgomery multiply entirely.
+void cp_export_mont_affine(const uint8_t *points, uint64_t n,
+                           uint8_t *out_x, uint8_t *out_y, uint8_t *out_zb) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
+    batch_normalize(pts.data(), n);
+    for (uint64_t i = 0; i < n; ++i) {
+        if (g1_is_inf(pts[i])) {
+            // canonical identity (0 : 1 : 0) — the complete-add formulas
+            // require this exact representation, whatever x/y the host
+            // object carried
+            std::memset(out_x + 48 * i, 0, 48);
+            std::memcpy(out_y + 48 * i, ONE_MONT, 48);
+            out_zb[i] = 0;
+        } else {
+            std::memcpy(out_x + 48 * i, pts[i].x.l, 48);
+            std::memcpy(out_y + 48 * i, pts[i].y.l, 48);
+            out_zb[i] = 1;
+        }
+    }
+}
+
 // fold with normalised output: out[i] = left[i] + k1*R_i + k2*phi(R_i), z=1
 void cp_dual_mul_norm(const uint8_t *left_bytes, const uint8_t *points,
                       uint64_t n, const uint8_t *beta48,

@@ -17,7 +17,7 @@ from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import (
-    generate_blinders, get_verification_scalars_bitstring, inner_product, msm,
+    generate_blinders, inner_product, msm, verification_scalar_products,
 )
 
 __all__ = ["InnerProductProof", "generate_ipa_blinders"]
@@ -141,7 +141,6 @@ class InnerProductProof:
         lg_n = len(self.vec_L_C)
         if lg_n >= 32 or n != (1 << lg_n):
             raise VerificationError("bad IPA proof shape")
-        bitstring = get_verification_scalars_bitstring(n, lg_n)
 
         challenges: list[int] = []
         for i in range(lg_n):
@@ -152,13 +151,10 @@ class InnerProductProof:
 
         challenges_inv = batch_inversion(challenges, R)
 
-        vec_s = []
-        for i in range(n):
-            s = 1
-            for j in bitstring[i]:
-                s = s * challenges[j] % R
-            vec_s.append(s)
-        vec_inv_s = batch_inversion(vec_s, R)
+        # one mul per entry (inner_product_argument.rs:250-272 computes the
+        # same products from the bitstring; see verification_scalar_products)
+        vec_s = verification_scalar_products(challenges, n)
+        vec_inv_s = verification_scalar_products(challenges_inv, n)
         return challenges, challenges_inv, vec_s, vec_inv_s
 
     def verify(

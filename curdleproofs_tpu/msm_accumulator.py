@@ -30,8 +30,8 @@ class MsmAccumulator:
         factor. No group math happens here — the whole batch of relations is
         verified by the single MSM `sum_i rf_i * <x_i, V_i> == 0`."""
         random_factor = rng.rand_fr()
-        self._xs.extend(random_factor * x % R for x in vec_x)
-        self._Vs.extend(vec_V)
+        self._xs += [random_factor * x % R for x in vec_x]
+        self._Vs += vec_V
 
     def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
                          rng: StdRng) -> None:

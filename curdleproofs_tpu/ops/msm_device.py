@@ -153,6 +153,19 @@ def _extend_packed(pts: PointsXYZ):
     return px, py, zbit
 
 
+@jax.jit
+def _ingest_packed_mont(pxp, pyp, zb):
+    """Packed Montgomery affine limb pairs [12, n] + liveness bits [n] ->
+    the extended [P | -P | inf] resident layout (negation + concat only;
+    the Montgomery residues arrive ready from the native exporter)."""
+    inf = g1_infinity((1,))
+    yn = _pack_rows(FQ.neg(_unpack_rows(pyp)))
+    ext_px = jnp.concatenate([pxp, pxp, _pack_rows(inf.x)], axis=1)
+    ext_py = jnp.concatenate([pyp, yn, _pack_rows(inf.y)], axis=1)
+    ext_zb = jnp.concatenate([zb, zb, jnp.zeros((1,), jnp.uint32)])
+    return ext_px, ext_py, ext_zb
+
+
 class DeviceBases:
     """Bases uploaded once and kept device-resident as [P | -P | inf].
 
@@ -161,14 +174,27 @@ class DeviceBases:
     vectors) must reuse this object.  `msm_device` accepts it in place of the
     point list.  The wrapped list is padded with the identity up to
     `pad_n(len(points))`; identity rows absorb the padding scalars (zero).
+
+    Fast path (native runtime available): one C++ batch-normalize exports the
+    affine MONTGOMERY residues as packed 16-bit limb pairs (96 B/point up,
+    no Python bigint per-point work, no on-device form change) —
+    fresh-base uploads at batch-verify scale (~600 K points) take ~1 s of
+    host work instead of the ~100 s the bigint path costs.
     """
 
     def __init__(self, points: list[G1]):
+        from ..host import native
+
         self.n_real = len(points)
         self.n = pad_n(len(points))
-        padded = points + [G1.infinity()] * (self.n - len(points))
-        self.ext_px, self.ext_py, self.ext_zb = _extend_packed(
-            points_to_device(padded))
+        if native.available() and points:
+            px, py, zb = native.export_mont_affine(points, self.n)
+            self.ext_px, self.ext_py, self.ext_zb = _ingest_packed_mont(
+                jnp.asarray(px), jnp.asarray(py), jnp.asarray(zb))
+        else:
+            padded = points + [G1.infinity()] * (self.n - len(points))
+            self.ext_px, self.ext_py, self.ext_zb = _extend_packed(
+                points_to_device(padded))
 
 
 _BASES_CACHE: dict[int, tuple] = {}

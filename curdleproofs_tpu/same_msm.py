@@ -16,7 +16,7 @@ from .host.rng import StdRng
 from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
-from .util import generate_blinders, get_verification_scalars_bitstring, msm
+from .util import generate_blinders, msm, verification_scalar_products
 
 __all__ = ["SameMultiscalarProof"]
 
@@ -111,7 +111,6 @@ class SameMultiscalarProof:
         lg_n = len(self.vec_L_A)
         if lg_n >= 32 or n != (1 << lg_n):
             raise VerificationError("bad SameMsm proof shape")
-        bitstring = get_verification_scalars_bitstring(n, lg_n)
 
         challenges = []
         for i in range(lg_n):
@@ -121,13 +120,8 @@ class SameMultiscalarProof:
             challenges.append(transcript.get_and_append_challenge(b"same_msm_gamma"))
 
         challenges_inv = batch_inversion(challenges, R)
-
-        vec_s = []
-        for i in range(n):
-            s = 1
-            for j in bitstring[i]:
-                s = s * challenges[j] % R
-            vec_s.append(s)
+        # one mul per entry (same_multiscalar_argument.rs:225-236 semantics)
+        vec_s = verification_scalar_products(challenges, n)
         return challenges, challenges_inv, vec_s
 
     def verify(

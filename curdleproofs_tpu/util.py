@@ -13,8 +13,8 @@ from .host.rng import StdRng
 
 __all__ = [
     "msm", "inner_product", "get_permutation", "generate_blinders",
-    "get_verification_scalars_bitstring", "shuffle_permute_and_commit_input",
-    "sum_affine_points",
+    "get_verification_scalars_bitstring", "verification_scalar_products",
+    "shuffle_permute_and_commit_input", "sum_affine_points",
 ]
 
 
@@ -52,6 +52,25 @@ def get_verification_scalars_bitstring(n: int, logn: int) -> list[list[int]]:
             if (i >> (logn - 1 - j)) & 1:
                 bitstring[i].append(j)
     return bitstring
+
+
+def verification_scalar_products(challenges: list[int], n: int) -> list[int]:
+    """s_i = prod_{j in bitstring[i]} challenges[j], ONE mul per entry.
+
+    Same output as the bitstring product loop over
+    `get_verification_scalars_bitstring` (util.rs:40-64 semantics): round j
+    enters s_i iff bit (logn-1-j) of i is set, so with b = lowest set bit of
+    i, s_i = s_{i & (i-1)} * challenges[logn-1-b].  Cuts the verifier's
+    per-proof scalar work from O(n log n) muls to O(n) — this loop runs once
+    per proof in every batch-verification replay.
+    """
+    logn = len(challenges)
+    assert n == 1 << logn
+    s = [1] * n
+    for i in range(1, n):
+        b = (i & -i).bit_length() - 1
+        s[i] = s[i & (i - 1)] * challenges[logn - 1 - b] % R
+    return s
 
 
 def shuffle_permute_and_commit_input(
