@@ -126,11 +126,17 @@ def bench_protocol(ell: int, repeats: int, batch: int):
                                             p_i, k_i, rb_i, rng))
     build_s = time.perf_counter() - t0
 
+    # device present -> stream chunks of proofs through the device Pippenger,
+    # overlapping transcript replays with the device MSM; host-only -> one
+    # deduped host MSM
+    use_stream = backend.name in ("hybrid", "tpu")
     t0 = time.perf_counter()
-    assert batch_verify(crs, instances, proofs, rng)
+    assert batch_verify(crs, instances, proofs, rng,
+                        stream_chunk=64 if use_stream else None)
     t_batch = time.perf_counter() - t0
 
     # split: replay-only (accumulate, no MSM), then the final deduped MSM
+    # through the active backend (hybrid routes this size to the device)
     acc = MsmAccumulator()
     t0 = time.perf_counter()
     for inst, pf in zip(instances, proofs):
@@ -146,6 +152,8 @@ def bench_protocol(ell: int, repeats: int, batch: int):
         "B": batch,
         "proofs_per_s": round(batch / t_batch, 1),
         "per_proof_ms": round(t_batch / batch * 1e3, 2),
+        "verify_path": "streamed-device" if use_stream else "host",
+        "final_msm_engine": getattr(backend, "last_msm_engine", backend.name),
         "replay_ms_per_proof": round(replay_s / batch * 1e3, 2),
         "final_msm_bases": len(bases),
         "final_msm_s": round(msm_s, 2),

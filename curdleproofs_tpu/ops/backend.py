@@ -47,11 +47,14 @@ class HybridBackend(Backend):
 
             hit = _BASES_CACHE.get(id(points))
             resident = hit is not None and hit[0] is points
-            # fresh bases pay ~96 B/point upload over the slow link + host packing,
-            # which the device only out-earns from ~2^19; resident bases
-            # win from the 2^16 crossover
-            if resident or n >= (1 << 19):
+            # fresh bases pay the native Montgomery-affine export + a
+            # 96 B/point upload over the slow link, which the device
+            # out-earns from ~2^17; resident bases win from the 2^16
+            # crossover
+            if resident or n >= (1 << 17):
+                self.last_msm_engine = "device"
                 return msm_device(points, scalars)
+        self.last_msm_engine = "host"
         return self._host.msm(points, scalars)
 
     def batch_mul(self, points, scalar):

@@ -49,8 +49,8 @@ from .g1_ops import (
 )
 from .limbs import int_to_limbs
 
-__all__ = ["DeviceBases", "msm_device", "pick_params", "pick_window_device",
-           "prepare_bases"]
+__all__ = ["DeviceBases", "DeviceMsmStream", "msm_device", "pick_params",
+           "pick_window_device", "prepare_bases"]
 
 _BIG = 1 << 30  # "unwritten" sentinel for scatter-built tables
 
@@ -182,11 +182,17 @@ class DeviceBases:
     host work instead of the ~100 s the bigint path costs.
     """
 
-    def __init__(self, points: list[G1]):
+    def __init__(self, points: list[G1], n_pad: int | None = None):
         from ..host import native
 
         self.n_real = len(points)
-        self.n = pad_n(len(points))
+        if n_pad is None:
+            self.n = pad_n(len(points))
+        else:
+            # caller pins the shape family (e.g. DeviceMsmStream chunks all
+            # share one compile); must be a pad_n fixed point
+            assert n_pad >= len(points) and pad_n(n_pad) == n_pad
+            self.n = n_pad
         if native.available() and points:
             px, py, zb = native.export_mont_affine(points, self.n)
             self.ext_px, self.ext_py, self.ext_zb = _ingest_packed_mont(
@@ -533,18 +539,26 @@ def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
         bases = prepare_bases(points)
     if len(scalars) != n_real:
         raise ValueError("points/scalars length mismatch")
-    params = pick_params(bases.n_real, c)
+    params = pick_params(bases.n, c)  # pad_n fixed point: params.n == bases.n
     assert params.n == bases.n, "bases padded under a different shape family"
+    out = _dispatch_pipeline(bases, scalars, params)
+    return _horner_windows(_window_sums_to_host(np.asarray(out)), params.c)
+
+
+def _dispatch_pipeline(bases: DeviceBases, scalars: list[int],
+                       params: MsmParams):
+    """Queue one pipeline execution (async; caller syncs via np.asarray)."""
     limbs = jnp.asarray(_scalars_to_limbs(scalars, params.n))
-    out = _msm_pipeline(
+    return _msm_pipeline(
         bases.ext_px, bases.ext_py, bases.ext_zb, limbs,
         n=params.n, c=params.c, t_rows=params.t_rows, s_pad=params.s_pad,
         pallas=use_pallas())
-    win = _window_sums_to_host(np.asarray(out))
 
+
+def _horner_windows(win: list[G1], c_bits: int) -> G1:
+    """Window sums -> result: sum_w 2^(c*w) * win[w]."""
     from ..host import native
 
-    c_bits = params.c
     if native.available() and len(win) >= 2:
         return native.msm(win, [1 << (c_bits * w) for w in range(len(win))])
     acc = G1.infinity()
@@ -553,3 +567,37 @@ def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
             acc = acc.double()
         acc = acc.add(win[w])
     return acc
+
+
+class DeviceMsmStream:
+    """Pipelined many-chunk MSM: `add()` queues one async device pipeline per
+    chunk of (points, scalars); `result()` syncs once at the end.
+
+    MSM(all) = sum_k MSM(chunk_k) because Pippenger window sums are additive,
+    so chunks combine with W host point-adds each — the device crunches chunk
+    k while the host prepares chunk k+1 (batch verification interleaves this
+    with the transcript replays; SURVEY.md §2c row 4).  All chunks share ONE
+    jit shape family (`n_chunk`); oversized adds are split transparently.
+    """
+
+    def __init__(self, n_chunk: int, c: int | None = None):
+        self.params = pick_params(n_chunk, c)
+        self._outs: list = []
+
+    def add(self, points: list[G1], scalars: list[int]) -> None:
+        assert len(points) == len(scalars)
+        n = self.params.n
+        for off in range(0, len(points), n):
+            bases = DeviceBases(points[off : off + n], n_pad=n)
+            self._outs.append(
+                _dispatch_pipeline(bases, scalars[off : off + n], self.params))
+
+    def result(self) -> G1:
+        wins: list[G1] | None = None
+        for out in self._outs:
+            pts = _window_sums_to_host(np.asarray(out))
+            wins = pts if wins is None else [a.add(b)
+                                             for a, b in zip(wins, pts)]
+        if wins is None:
+            return G1.infinity()
+        return _horner_windows(wins, self.params.c)

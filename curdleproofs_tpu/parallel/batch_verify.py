@@ -38,6 +38,37 @@ class ShuffleInstance:
         self.M = M
 
 
+def _batch_verify_streamed(
+    crs: CurdleproofsCrs,
+    instances: list[ShuffleInstance],
+    proofs: list[CurdleproofsProof],
+    rng: StdRng,
+    chunk: int,
+) -> bool:
+    """Replay chunks of proofs, streaming each chunk's deduped MSM terms to
+    the device pipeline; one sync + host window combine at the end."""
+    from ..ops.msm_device import DeviceMsmStream
+
+    stream: DeviceMsmStream | None = None
+    try:
+        for off in range(0, len(proofs), chunk):
+            acc = MsmAccumulator()
+            for i in range(off, min(off + chunk, len(proofs))):
+                inst = instances[i]
+                proofs[i].verify_with_accumulator(
+                    crs, inst.vec_R, inst.vec_S, inst.vec_T, inst.vec_U,
+                    inst.M, acc, rng)
+            bases, scalars = acc._dedup()
+            if stream is None:
+                # every full chunk dedups to the same size (identical proof
+                # structure); slack covers dedup jitter, oversized adds split
+                stream = DeviceMsmStream(len(bases) + len(bases) // 8 + 64)
+            stream.add(bases, scalars)
+    except VerificationError:
+        return False
+    return stream.result().is_infinity()
+
+
 def _final_check(acc: MsmAccumulator, mesh: Mesh | None) -> bool:
     if mesh is None:
         try:
@@ -56,13 +87,25 @@ def batch_verify(
     rng: StdRng,
     mesh: Mesh | None = None,
     identify: bool = False,
+    stream_chunk: int | None = None,
 ) -> bool | list[bool]:
     """Verify many proofs with one deduped (optionally mesh-sharded) MSM.
+
+    `stream_chunk=B_c` pipelines the final MSM with the replays: every B_c
+    proofs, the chunk's deduped terms are dispatched to the device Pippenger
+    asynchronously (window sums are additive across chunks), so the device
+    crunches chunk k while the host replays chunk k+1's transcripts.  Chunk
+    dedup merges the CRS bases within a chunk; the ~1e3 shared bases repeat
+    once per chunk across chunks — negligible against per-proof fresh bases.
 
     Returns a bool, or per-proof verdicts when `identify=True` and the batch
     fails (log-depth bisection; valid batches still cost one MSM).
     """
     assert len(instances) == len(proofs)
+
+    if stream_chunk is not None and not identify and len(proofs) > 0:
+        return _batch_verify_streamed(crs, instances, proofs, rng,
+                                      stream_chunk)
 
     def run(idx: list[int]) -> bool:
         acc = MsmAccumulator()

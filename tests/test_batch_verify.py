@@ -46,6 +46,32 @@ def test_batch_verify_detects_one_bad(batch):
     assert verdicts == [True, False, True]
 
 
+def test_batch_verify_streamed(batch):
+    """Streamed (chunked device-pipeline) path: same verdicts as the one-MSM
+    path, chunk boundary exercised (3 proofs, chunk of 2)."""
+    crs, instances, proofs, rng = batch
+    assert batch_verify(crs, instances, proofs, rng, stream_chunk=2) is True
+    bad = ShuffleInstance(instances[1].vec_S, instances[1].vec_R,
+                          instances[1].vec_T, instances[1].vec_U,
+                          instances[1].M)
+    tampered = [instances[0], bad, instances[2]]
+    assert batch_verify(crs, tampered, proofs, rng, stream_chunk=2) is False
+
+
+def test_device_msm_stream_matches_host():
+    """DeviceMsmStream chunk-splitting: sum of chunk MSMs == one MSM."""
+    from curdleproofs_tpu.backend import HostBackend
+    from curdleproofs_tpu.ops.msm_device import DeviceMsmStream
+
+    rng = StdRng.seed_from_u64(9)
+    pts = [rng.rand_g1() for _ in range(150)]
+    ss = [rng.rand_fr() for _ in range(150)]
+    stream = DeviceMsmStream(64)
+    stream.add(pts[:100], ss[:100])   # oversized: splits into 64 + 36
+    stream.add(pts[100:], ss[100:])
+    assert stream.result() == HostBackend().msm(pts, ss)
+
+
 @pytest.mark.slow
 def test_batch_verify_sharded_mesh(batch):
     crs, instances, proofs, rng = batch
