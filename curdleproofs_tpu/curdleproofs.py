@@ -212,7 +212,7 @@ class CurdleproofsProof:
 
     @staticmethod
     def deserialize(buf: bytes | memoryview, log2_n: int) -> "CurdleproofsProof":
-        from .host.serde import g1_from_bytes
+        from .host.serde import g1_from_bytes_batch
         buf = memoryview(bytes(buf))
 
         def take(n):
@@ -220,11 +220,12 @@ class CurdleproofsProof:
             chunk, buf = buf[:n], buf[n:]
             return bytes(chunk)
 
-        A = g1_from_bytes(take(48))
-        cm_T = GroupCommitment(g1_from_bytes(take(48)), g1_from_bytes(take(48)))
-        cm_U = GroupCommitment(g1_from_bytes(take(48)), g1_from_bytes(take(48)))
-        R_pt = g1_from_bytes(take(48))
-        S_pt = g1_from_bytes(take(48))
+        # one batch decompress for the 7-point header run
+        pts = g1_from_bytes_batch([take(48) for _ in range(7)])
+        A, cm_T, cm_U, R_pt, S_pt = (pts[0],
+                                     GroupCommitment(pts[1], pts[2]),
+                                     GroupCommitment(pts[3], pts[4]),
+                                     pts[5], pts[6])
         same_perm, buf = SamePermutationProof.deserialize(buf, log2_n)
         same_scalar, buf = SameScalarProof.deserialize(buf)
         same_msm, buf = SameMultiscalarProof.deserialize(buf, log2_n)

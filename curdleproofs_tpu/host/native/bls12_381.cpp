@@ -2602,21 +2602,31 @@ namespace {
 
 #if CP_HAVE_IFMA
 
-// vertical batch pow by the fixed public exponent (q+1)/4
-void pow_q14_8(const ifma::Fq8 &base, ifma::Fq8 &out) {
+// vertical batch pow by the fixed public exponent (q+1)/4 for K independent
+// 8-lane groups in lockstep (the exponent is shared, so each sqr/mul step
+// runs K instances back-to-back — a single group is latency-bound on the
+// montmul dependency chain and leaves the IFMA ports ~3/4 idle)
+template <int K>
+void pow_q14_K(const ifma::Fq8 *base, ifma::Fq8 *out) {
     using namespace ifma;
     bool started = false;
-    Fq8 acc;
+    ifma::Fq8 acc[K];
     for (int limb = 5; limb >= 0; --limb) {
         for (int bit = 63; bit >= 0; --bit) {
-            if (started) sqr8(acc, acc);
+            if (started)
+                for (int k = 0; k < K; ++k) sqr8(acc[k], acc[k]);
             if ((Q14[limb] >> bit) & 1) {
-                if (started) montmul8(acc, base, acc);
-                else { acc = base; started = true; }
+                if (started) {
+                    for (int k = 0; k < K; ++k)
+                        montmul8(acc[k], base[k], acc[k]);
+                } else {
+                    for (int k = 0; k < K; ++k) acc[k] = base[k];
+                    started = true;
+                }
             }
         }
     }
-    out = acc;
+    for (int k = 0; k < K; ++k) out[k] = acc[k];
 }
 
 // Endomorphism G1-membership test for 8 lanes of affine points (M. Scott,
@@ -2628,38 +2638,85 @@ void pow_q14_8(const ifma::Fq8 &base, ifma::Fq8 &out) {
 // y*Qz^3 == -Qy.  ~126 doublings + 12 adds, vs ~252 dbl + 70 add for the
 // [r]P ladder this replaces (the reference relies on arkworks'
 // is_in_correct_subgroup_assuming_on_curve, whisk.rs:265-341 path).
-__mmask8 subgroup_endo8(const ifma::Fq8 &bx, const ifma::Fq8 &by,
-                        __mmask8 binf) {
+template <int K>
+void subgroup_endo_K(const ifma::Fq8 *bx, const ifma::Fq8 *by,
+                     const __mmask8 *binf, __mmask8 *okm) {
     using namespace ifma;
     Fq8 one, zero;
     broadcast8(ONE_MONT52, one);
     set_zero8(zero);
-    Jac8 q;
-    q.X = bx;
-    q.Y = by;
-    select8(binf, zero, one, q.Z);
+    Jac8 q[K];
+    for (int k = 0; k < K; ++k) {
+        q[k].X = bx[k];
+        q[k].Y = by[k];
+        select8(binf[k], zero, one, q[k].Z);
+    }
     const uint64_t Z_ABS = 0xd201000000010000ULL;  // |z|, top bit 63
     for (int pass = 0; pass < 2; ++pass) {  // q = |z| * (|z| * P)
-        Jac8 src = q;
-        Jac8 acc = src;
-        for (int b = 62; b >= 0; --b) {
-            dbl_jac8(acc);
-            if ((Z_ABS >> b) & 1) add_jac8(acc, src);
+        Jac8 src[K], acc[K];
+        for (int k = 0; k < K; ++k) { src[k] = q[k]; acc[k] = q[k]; }
+        for (int b = 62; b >= 0; --b) {    // shared ladder bits: K groups
+            dbl_jacK<K>(acc);              // advance in lockstep
+            if ((Z_ABS >> b) & 1) add_jacK<K>(acc, src);
         }
-        q = acc;
+        for (int k = 0; k < K; ++k) q[k] = acc[k];
     }
-    Fq8 beta, zz, zzz, phix, lx, ly, ynegq;
-    broadcast8(BETA_MONT52, beta);
-    sqr8(q.Z, zz);
-    montmul8(zz, q.Z, zzz);
-    montmul8(beta, bx, phix);
-    montmul8(phix, zz, lx);
-    montmul8(by, zzz, ly);
-    neg8(q.Y, ynegq);
-    // q == O with P != O means ord(P) | z^2, coprime to r: not in G1.
-    __mmask8 ok = (__mmask8)(eq8(lx, q.X) & eq8(ly, ynegq)
-                             & (__mmask8)~is_zero8(q.Z));
-    return (__mmask8)(binf | ok);
+    for (int k = 0; k < K; ++k) {
+        Fq8 beta, zz, zzz, phix, lx, ly, ynegq;
+        broadcast8(BETA_MONT52, beta);
+        sqr8(q[k].Z, zz);
+        montmul8(zz, q[k].Z, zzz);
+        montmul8(beta, bx[k], phix);
+        montmul8(phix, zz, lx);
+        montmul8(by[k], zzz, ly);
+        neg8(q[k].Y, ynegq);
+        // q == O with P != O means ord(P) | z^2, coprime to r: not in G1.
+        __mmask8 ok = (__mmask8)(eq8(lx, q[k].X) & eq8(ly, ynegq)
+                                 & (__mmask8)~is_zero8(q[k].Z));
+        okm[k] = (__mmask8)(binf[k] | ok);
+    }
+}
+
+// Endomorphism membership test over n affine Montgomery-form points
+// (live[i] = 0 lanes pass trivially), 2 x 8-lane groups in flight.
+void subgroup_endo_batch(const Fq *bx, const Fq *by, const uint8_t *live,
+                         uint64_t n, uint8_t *ok) {
+    using namespace ifma;
+    std::vector<u64> x52(((n + 7) / 8) * 64), y52(((n + 7) / 8) * 64);
+    convert_to52_batch(bx, n, x52.data());
+    convert_to52_batch(by, n, y52.data());
+    uint64_t ngroups = (n + 7) / 8;
+    auto load_group = [&](uint64_t g, Fq8 &X8, Fq8 &Y8, __mmask8 &binf) {
+        const u64 *sx[8], *sy[8];
+        binf = 0;
+        for (int k = 0; k < 8; ++k) {
+            uint64_t e = 8 * g + (uint64_t)k < n ? 8 * g + k : 8 * g;
+            sx[k] = x52.data() + e * 8;
+            sy[k] = y52.data() + e * 8;
+            if (8 * g + k >= n || !live[e]) binf = (__mmask8)(binf | (1u << k));
+        }
+        load8(sx, X8);
+        load8(sy, Y8);
+    };
+    auto store_group = [&](uint64_t g, __mmask8 okm) {
+        for (int k = 0; k < 8 && 8 * g + (uint64_t)k < n; ++k)
+            ok[8 * g + k] = (okm >> k) & 1;
+    };
+    uint64_t g = 0;
+    for (; g + 2 <= ngroups; g += 2) {
+        Fq8 X8[2], Y8[2];
+        __mmask8 binf[2], okm[2];
+        for (int j = 0; j < 2; ++j) load_group(g + j, X8[j], Y8[j], binf[j]);
+        subgroup_endo_K<2>(X8, Y8, binf, okm);
+        for (int j = 0; j < 2; ++j) store_group(g + j, okm[j]);
+    }
+    for (; g < ngroups; ++g) {
+        Fq8 X8, Y8;
+        __mmask8 binf, okm;
+        load_group(g, X8, Y8, binf);
+        subgroup_endo_K<1>(&X8, &Y8, &binf, &okm);
+        store_group(g, okm);
+    }
 }
 
 #endif  // CP_HAVE_IFMA
@@ -2742,19 +2799,39 @@ void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
     if (use_ifma) {
         std::vector<u64> t52(((n + 7) / 8) * 64), y52(((n + 7) / 8) * 64);
         convert_to52_batch(ts.data(), n, t52.data());
-        for (uint64_t base = 0; base < n; base += 8) {
+        uint64_t ngroups = (n + 7) / 8;
+        auto load_t = [&](uint64_t g, ifma::Fq8 &t8) {
             const u64 *src[8];
+            for (int k = 0; k < 8; ++k) {
+                uint64_t e = 8 * g + (uint64_t)k < n ? 8 * g + k : 8 * g;
+                src[k] = t52.data() + e * 8;
+            }
+            ifma::load8(src, t8);
+        };
+        auto store_y = [&](uint64_t g, const ifma::Fq8 &y8) {
             u64 *dst[8];
             for (int k = 0; k < 8; ++k) {
-                uint64_t e = base + (uint64_t)k < n ? base + k : base;
-                src[k] = t52.data() + e * 8;
-                dst[k] = y52.data() + (base + k < n ? base + k : base) * 8;
+                uint64_t e = 8 * g + (uint64_t)k < n ? 8 * g + k : 8 * g;
+                dst[k] = y52.data() + e * 8;
             }
-            ifma::Fq8 t8, y8;
-            ifma::load8(src, t8);
-            pow_q14_8(t8, y8);
-            unsigned lanes = base + 8 <= n ? 0xffu : ((1u << (n - base)) - 1u);
+            unsigned lanes = 8 * g + 8 <= n ? 0xffu
+                                            : ((1u << (n - 8 * g)) - 1u);
             ifma::store8(y8, dst, lanes);
+        };
+        // 2 groups in flight (register budget: Fq8 = 8 ZMMs): one group's
+        // sqr/mul chain is latency-bound, interleaving fills the pipeline
+        uint64_t g = 0;
+        for (; g + 2 <= ngroups; g += 2) {
+            ifma::Fq8 t8[2], y8[2];
+            for (int j = 0; j < 2; ++j) load_t(g + j, t8[j]);
+            pow_q14_K<2>(t8, y8);
+            for (int j = 0; j < 2; ++j) store_y(g + j, y8[j]);
+        }
+        for (; g < ngroups; ++g) {
+            ifma::Fq8 t8, y8;
+            load_t(g, t8);
+            pow_q14_K<1>(&t8, &y8);
+            store_y(g, y8);
         }
         convert_from52_batch(y52.data(), n, ys.data());
     } else
@@ -2813,28 +2890,11 @@ void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
             if (on_curve[i]) { bx[i] = pts[i].x; by[i] = pts[i].y; }
             else { std::memset(bx[i].l, 0, 48); std::memset(by[i].l, 0, 48); }
         }
-        std::vector<u64> x52(((n + 7) / 8) * 64), yy52(((n + 7) / 8) * 64);
-        convert_to52_batch(bx.data(), n, x52.data());
-        convert_to52_batch(by.data(), n, yy52.data());
-        for (uint64_t base = 0; base < n; base += 8) {
-            const u64 *sx[8], *sy[8];
-            __mmask8 binf = 0;
-            for (int k = 0; k < 8; ++k) {
-                uint64_t e = base + (uint64_t)k < n ? base + k : base;
-                sx[k] = x52.data() + e * 8;
-                sy[k] = yy52.data() + e * 8;
-                if (base + k >= n || !on_curve[e])
-                    binf = (__mmask8)(binf | (1u << k));
-            }
-            ifma::Fq8 X8, Y8;
-            ifma::load8(sx, X8);
-            ifma::load8(sy, Y8);
-            __mmask8 okm = subgroup_endo8(X8, Y8, binf);
-            for (int k = 0; k < 8 && base + (uint64_t)k < n; ++k) {
-                uint64_t i = base + k;
-                if (on_curve[i] && !(okm & (1u << k))) flags[i] = 3;
-            }
-        }
+        std::vector<uint8_t> ok(n);
+        subgroup_endo_batch(bx.data(), by.data(), on_curve.data(), n,
+                            ok.data());
+        for (uint64_t i = 0; i < n; ++i)
+            if (on_curve[i] && !ok[i]) flags[i] = 3;
     } else
 #endif
     {
@@ -2854,32 +2914,15 @@ void cp_subgroup_check(const uint8_t *points, uint64_t n, uint8_t *flags) {
 #if CP_HAVE_IFMA
     if (!std::getenv("CP_NO_IFMA")) {
         std::vector<Fq> bx(n), by(n);
-        std::vector<uint8_t> inf(n);
+        std::vector<uint8_t> live(n);
         for (uint64_t i = 0; i < n; ++i) {
-            inf[i] = g1_is_inf(pts[i]);
-            if (inf[i]) { std::memset(bx[i].l, 0, 48); std::memset(by[i].l, 0, 48); }
+            live[i] = !g1_is_inf(pts[i]);
+            if (!live[i]) { std::memset(bx[i].l, 0, 48); std::memset(by[i].l, 0, 48); }
             else { bx[i] = pts[i].x; by[i] = pts[i].y; }
         }
-        std::vector<u64> x52(((n + 7) / 8) * 64), y52(((n + 7) / 8) * 64);
-        convert_to52_batch(bx.data(), n, x52.data());
-        convert_to52_batch(by.data(), n, y52.data());
-        for (uint64_t base = 0; base < n; base += 8) {
-            const u64 *sx[8], *sy[8];
-            __mmask8 binf = 0;
-            for (int k = 0; k < 8; ++k) {
-                uint64_t e = base + (uint64_t)k < n ? base + k : base;
-                sx[k] = x52.data() + e * 8;
-                sy[k] = y52.data() + e * 8;
-                if (base + k >= n || inf[e])
-                    binf = (__mmask8)(binf | (1u << k));
-            }
-            ifma::Fq8 X8, Y8;
-            ifma::load8(sx, X8);
-            ifma::load8(sy, Y8);
-            __mmask8 okm = subgroup_endo8(X8, Y8, binf);
-            for (int k = 0; k < 8 && base + (uint64_t)k < n; ++k)
-                flags[base + k] = (okm & (1u << k)) ? 0 : 1;
-        }
+        std::vector<uint8_t> ok(n);
+        subgroup_endo_batch(bx.data(), by.data(), live.data(), n, ok.data());
+        for (uint64_t i = 0; i < n; ++i) flags[i] = ok[i] ? 0 : 1;
         return;
     }
 #endif

@@ -181,7 +181,11 @@ def _native_decompress_nosub(buf: bytes) -> G1 | None:
 
 def g1_from_bytes_batch(bufs: list[bytes], validate: bool = True) -> list[G1]:
     """Decompress many 48-byte points; native batch path (IFMA sqrt + 8-wide
-    subgroup ladder, ~11x the per-point python path) when available."""
+    subgroup ladder, ~11x the per-point python path) when available.
+
+    Inside a `deferred_subgroup_checks` context the subgroup test is queued
+    (one big batched ladder at context exit) so decompress costs only the
+    parse + sqrt."""
     if validate and len(bufs) >= 4:
         try:
             import ctypes
@@ -195,15 +199,19 @@ def g1_from_bytes_batch(bufs: list[bytes], validate: bool = True) -> list[G1]:
                     if len(b) != 48:
                         raise SerializationError(
                             "G1 compressed encoding must be 48 bytes")
+                defer = _DEFERRED is not None
                 out = ctypes.create_string_buffer(144 * n)
                 flags = ctypes.create_string_buffer(n)
                 lib.cp_g1_decompress_validate(b"".join(bufs), n, out,
-                                              flags, 1)
+                                              flags, 0 if defer else 1)
                 for i, f in enumerate(flags.raw):
                     if f:
                         raise SerializationError(
                             f"point {i}: " + _DECOMPRESS_FLAG_ERRORS[f])
-                return native.pts_from_bytes(out.raw, n)
+                pts = native.pts_from_bytes(out.raw, n)
+                if defer:
+                    _DEFERRED.extend(pts)
+                return pts
         except SerializationError:
             raise
         except Exception:

@@ -13,7 +13,9 @@ from .errors import VerificationError
 from .host.field import batch_inversion, fr_inv
 from .host.g1 import G1
 from .host.rng import StdRng
-from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
+from .host.serde import (
+    fr_from_bytes, fr_to_bytes, g1_from_bytes_batch, g1_to_bytes,
+)
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import (
@@ -227,11 +229,11 @@ class InnerProductProof:
             chunk, buf = buf[:n], buf[n:]
             return bytes(chunk)
 
-        B_c = g1_from_bytes(take(48))
-        B_d = g1_from_bytes(take(48))
-        vecs = []
-        for _ in range(4):
-            vecs.append([g1_from_bytes(take(48)) for _ in range(log2_n)])
+        # one batch decompress for the whole 2 + 4*log2_n point run
+        pts = g1_from_bytes_batch(
+            [take(48) for _ in range(2 + 4 * log2_n)])
+        B_c, B_d = pts[0], pts[1]
+        vecs = [pts[2 + i * log2_n : 2 + (i + 1) * log2_n] for i in range(4)]
         c_final = fr_from_bytes(take(32))
         d_final = fr_from_bytes(take(32))
         return InnerProductProof(B_c, B_d, vecs[0], vecs[1], vecs[2], vecs[3],

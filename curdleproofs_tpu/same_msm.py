@@ -13,7 +13,9 @@ from .errors import VerificationError
 from .host.field import batch_inversion, fr_inv
 from .host.g1 import G1
 from .host.rng import StdRng
-from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
+from .host.serde import (
+    fr_from_bytes, fr_to_bytes, g1_from_bytes_batch, g1_to_bytes,
+)
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import generate_blinders, msm, verification_scalar_products
@@ -180,11 +182,10 @@ class SameMultiscalarProof:
             chunk, buf = buf[:n], buf[n:]
             return bytes(chunk)
 
-        B_a = g1_from_bytes(take(48))
-        B_t = g1_from_bytes(take(48))
-        B_u = g1_from_bytes(take(48))
-        vecs = []
-        for _ in range(6):
-            vecs.append([g1_from_bytes(take(48)) for _ in range(log2_n)])
+        # one batch decompress for the whole 3 + 6*log2_n point run
+        pts = g1_from_bytes_batch(
+            [take(48) for _ in range(3 + 6 * log2_n)])
+        B_a, B_t, B_u = pts[0], pts[1], pts[2]
+        vecs = [pts[3 + i * log2_n : 3 + (i + 1) * log2_n] for i in range(6)]
         x_final = fr_from_bytes(take(32))
         return SameMultiscalarProof(B_a, B_t, B_u, *vecs, x_final), buf

@@ -12,7 +12,9 @@ from .constants import R
 from .errors import VerificationError
 from .host.g1 import G1
 from .host.rng import StdRng
-from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
+from .host.serde import (
+    fr_from_bytes, fr_to_bytes, g1_from_bytes_batch, g1_to_bytes,
+)
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 
@@ -122,10 +124,10 @@ class SameScalarProof:
 
     @staticmethod
     def deserialize(buf: memoryview) -> tuple["SameScalarProof", memoryview]:
-        cm_A = GroupCommitment(g1_from_bytes(bytes(buf[0:48])),
-                               g1_from_bytes(bytes(buf[48:96])))
-        cm_B = GroupCommitment(g1_from_bytes(bytes(buf[96:144])),
-                               g1_from_bytes(bytes(buf[144:192])))
+        pts = g1_from_bytes_batch(
+            [bytes(buf[48 * i : 48 * (i + 1)]) for i in range(4)])
+        cm_A = GroupCommitment(pts[0], pts[1])
+        cm_B = GroupCommitment(pts[2], pts[3])
         z_k = fr_from_bytes(bytes(buf[192:224]))
         z_t = fr_from_bytes(bytes(buf[224:256]))
         z_u = fr_from_bytes(bytes(buf[256:288]))
