@@ -2702,21 +2702,31 @@ void subgroup_endo_batch(const Fq *bx, const Fq *by, const uint8_t *live,
         for (int k = 0; k < 8 && 8 * g + (uint64_t)k < n; ++k)
             ok[8 * g + k] = (okm >> k) & 1;
     };
+    static const int KDEPTH = []() {
+        const char *e = std::getenv("CP_SUBGROUP_K");
+        int v = e ? std::atoi(e) : 3;
+        return (v >= 1 && v <= 4) ? v : 2;
+    }();
     uint64_t g = 0;
-    for (; g + 2 <= ngroups; g += 2) {
-        Fq8 X8[2], Y8[2];
-        __mmask8 binf[2], okm[2];
-        for (int j = 0; j < 2; ++j) load_group(g + j, X8[j], Y8[j], binf[j]);
-        subgroup_endo_K<2>(X8, Y8, binf, okm);
-        for (int j = 0; j < 2; ++j) store_group(g + j, okm[j]);
-    }
-    for (; g < ngroups; ++g) {
-        Fq8 X8, Y8;
-        __mmask8 binf, okm;
-        load_group(g, X8, Y8, binf);
-        subgroup_endo_K<1>(&X8, &Y8, &binf, &okm);
-        store_group(g, okm);
-    }
+    auto run = [&](auto kc, uint64_t g0) {
+        constexpr int KK = decltype(kc)::value;
+        Fq8 X8[KK], Y8[KK];
+        __mmask8 binf[KK], okm[KK];
+        for (int j = 0; j < KK; ++j) load_group(g0 + j, X8[j], Y8[j], binf[j]);
+        subgroup_endo_K<KK>(X8, Y8, binf, okm);
+        for (int j = 0; j < KK; ++j) store_group(g0 + j, okm[j]);
+    };
+    if (KDEPTH >= 4)
+        for (; g + 4 <= ngroups; g += 4)
+            run(std::integral_constant<int, 4>{}, g);
+    if (KDEPTH >= 3)
+        for (; g + 3 <= ngroups; g += 3)
+            run(std::integral_constant<int, 3>{}, g);
+    if (KDEPTH >= 2)
+        for (; g + 2 <= ngroups; g += 2)
+            run(std::integral_constant<int, 2>{}, g);
+    for (; g < ngroups; ++g)
+        run(std::integral_constant<int, 1>{}, g);
 }
 
 #endif  // CP_HAVE_IFMA
@@ -2818,21 +2828,32 @@ void cp_g1_decompress_validate(const uint8_t *comp, uint64_t n, uint8_t *out,
                                             : ((1u << (n - 8 * g)) - 1u);
             ifma::store8(y8, dst, lanes);
         };
-        // 2 groups in flight (register budget: Fq8 = 8 ZMMs): one group's
+        // groups in flight (register budget: Fq8 = 8 ZMMs): one group's
         // sqr/mul chain is latency-bound, interleaving fills the pipeline
+        static const int KSQ = []() {
+            const char *e = std::getenv("CP_SQRT_K");
+            int v = e ? std::atoi(e) : 3;
+            return (v >= 1 && v <= 4) ? v : 2;
+        }();
         uint64_t g = 0;
-        for (; g + 2 <= ngroups; g += 2) {
-            ifma::Fq8 t8[2], y8[2];
-            for (int j = 0; j < 2; ++j) load_t(g + j, t8[j]);
-            pow_q14_K<2>(t8, y8);
-            for (int j = 0; j < 2; ++j) store_y(g + j, y8[j]);
-        }
-        for (; g < ngroups; ++g) {
-            ifma::Fq8 t8, y8;
-            load_t(g, t8);
-            pow_q14_K<1>(&t8, &y8);
-            store_y(g, y8);
-        }
+        auto run_pow = [&](auto kc, uint64_t g0) {
+            constexpr int KK = decltype(kc)::value;
+            ifma::Fq8 t8[KK], y8[KK];
+            for (int j = 0; j < KK; ++j) load_t(g0 + j, t8[j]);
+            pow_q14_K<KK>(t8, y8);
+            for (int j = 0; j < KK; ++j) store_y(g0 + j, y8[j]);
+        };
+        if (KSQ >= 4)
+            for (; g + 4 <= ngroups; g += 4)
+                run_pow(std::integral_constant<int, 4>{}, g);
+        if (KSQ >= 3)
+            for (; g + 3 <= ngroups; g += 3)
+                run_pow(std::integral_constant<int, 3>{}, g);
+        if (KSQ >= 2)
+            for (; g + 2 <= ngroups; g += 2)
+                run_pow(std::integral_constant<int, 2>{}, g);
+        for (; g < ngroups; ++g)
+            run_pow(std::integral_constant<int, 1>{}, g);
         convert_from52_batch(y52.data(), n, ys.data());
     } else
 #endif
