@@ -47,9 +47,12 @@ def init_multihost(coordinator_address: str | None = None,
     if process_id is None and os.environ.get("CURDLEPROOFS_PROCID"):
         process_id = int(os.environ["CURDLEPROOFS_PROCID"])
     if coordinator_address or (num_processes or 0) > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is None:  # idempotent
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
     return jax.process_index(), jax.process_count()
 
 
