@@ -43,14 +43,49 @@ BASELINES_MS = {  # README.md:47-49 (prove, verify, shuffle)
 }
 
 
+def _tpu_reachable(deadline_s: float = 420.0) -> bool:
+    """Probe device availability in a THROWAWAY subprocess with a deadline.
+
+    The axon tunnel's PJRT client creation can block for many minutes (and
+    then fail) when the pool is wedged; probing in-process would hang the
+    whole benchmark, and a failed in-process init poisons jax's backend
+    cache. A healthy tunnel answers in ~20 s; a degraded one within the
+    deadline; past it we record host numbers instead of nothing."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.default_backend() in ('tpu', 'axon')"],
+            timeout=deadline_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _pick_backend():
     """Resolve the benchmark's backend explicitly: hybrid when a real TPU is
     attached (device Pippenger for big MSMs), host otherwise — and NAME the
-    choice in the artifact so every phase's engine is on record."""
-    from curdleproofs_tpu.backend import set_backend
-    from curdleproofs_tpu.ops.backend import auto_backend
+    choice in the artifact so every phase's engine is on record.
 
-    b = auto_backend()
+    CURDLEPROOFS_BACKEND=host skips the device entirely (and pins jax to
+    the CPU platform so nothing in the process can touch a dead tunnel);
+    otherwise a deadline-bounded subprocess probes the tunnel first."""
+    from curdleproofs_tpu.backend import set_backend
+
+    forced = os.environ.get("CURDLEPROOFS_BACKEND")
+    if forced != "host" and _tpu_reachable():
+        from curdleproofs_tpu.ops.backend import auto_backend
+
+        b = auto_backend()
+    else:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize override
+        from curdleproofs_tpu.backend import HostBackend
+
+        b = HostBackend()
     set_backend(b)
     return b
 
@@ -218,18 +253,26 @@ def bench_speed_of_light():
     # marginal cost over LONG dependent chains (lax.fori inside one jit) so
     # the ~33 ms tunnel sync floor and run-to-run noise cancel out of the
     # two-point estimate.
-    def marginal(make, reps=(32, 256)):
-        outs = []
-        for kreps in reps:
-            f = jax.jit(make(kreps))
-            sync(f(a))
+    def marginal(make, reps=(32, 256), trials=5):
+        """Median-of-`trials` marginal estimate + spread. Each trial times
+        both chain lengths back-to-back so tunnel drift cancels within a
+        trial; the spread across trials IS the platform noise (this tunnel
+        swings tens of percent run to run — quote the median, keep the
+        spread in the artifact)."""
+        fs = [jax.jit(make(k)) for k in reps]
+        for f in fs:
+            sync(f(a))  # compile + warm
+        ests = []
+        for _ in range(trials):
             ts = []
-            for _ in range(3):
+            for f in fs:
                 t0 = time.perf_counter()
                 sync(f(a))
                 ts.append(time.perf_counter() - t0)
-            outs.append(min(ts))
-        return max(outs[1] - outs[0], 1e-9) / (reps[1] - reps[0])
+            ests.append(max(ts[1] - ts[0], 1e-9) / (reps[1] - reps[0]))
+        ests.sort()
+        med = ests[len(ests) // 2]
+        return med, (ests[0], ests[-1])
 
     def mk_mul(kreps):
         def f(x):
@@ -244,16 +287,21 @@ def bench_speed_of_light():
                 0, kreps, lambda i, p: g1_add_pallas_flat(p, q, (n,)), q)
         return f
 
-    mul_s = marginal(mk_mul)
-    add_s = marginal(mk_add)
+    mul_s, mul_spread = marginal(mk_mul)
+    add_s, add_spread = marginal(mk_add)
     vpu_ops = 1.71e12
     mul_rate = n / mul_s
     add_rate = n / add_s
     return {
         "fq_mul_M_per_s": round(mul_rate / 1e6, 1),
+        "fq_mul_M_per_s_spread": [round(n / mul_spread[1] / 1e6, 1),
+                                  round(n / mul_spread[0] / 1e6, 1)],
         "fq_mul_pct_of_sol": round(100 * mul_rate / (vpu_ops / 2300), 1),
         "g1_add_M_per_s": round(add_rate / 1e6, 2),
+        "g1_add_M_per_s_spread": [round(n / add_spread[1] / 1e6, 2),
+                                  round(n / add_spread[0] / 1e6, 2)],
         "g1_add_pct_of_sol": round(100 * add_rate / (vpu_ops / 29000), 1),
+        "estimator": "median of 5 two-point marginals",
         "sol_model": "1.71e12 int32 VPU lane-ops/s (8x128 @ 1.67GHz); fq_mul~2300, g1_add~29000 ops",
     }
 
