@@ -289,20 +289,28 @@ def _phase3_chunks(c: int, w_cnt: int) -> tuple[int, int]:
     return g, b // g
 
 
+def use_madd() -> bool:
+    """Mixed-add fold (11-mul complete madd on the affine bases) unless
+    CURDLEPROOFS_MADD=0 pins the 12-mul full-add fold for an A/B."""
+    import os
+
+    return os.environ.get("CURDLEPROOFS_MADD", "1") != "0"
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n", "c", "t_rows", "s_pad", "pallas"))
+    jax.jit, static_argnames=("n", "c", "t_rows", "s_pad", "pallas", "madd"))
 def _msm_pipeline(ext_px, ext_py, ext_zb, limbs, *, n, c, t_rows, s_pad,
-                  pallas):
+                  pallas, madd=True):
     """limbs: [16, n] uint32 scalar limbs -> [3, 24, W] canonical projective
     window sums (host finishes with the W-term Horner ladder)."""
     digits = _signed_digits(limbs, n, c)
     return _pipeline_core(ext_px, ext_py, ext_zb, digits, n=n, c=c,
                           w_cnt=-(-255 // c), t_rows=t_rows, s_pad=s_pad,
-                          pallas=pallas)
+                          pallas=pallas, madd=madd)
 
 
 def _pipeline_core(ext_px, ext_py, ext_zb, digits, *, n, c, w_cnt, t_rows,
-                   s_pad, pallas):
+                   s_pad, pallas, madd=True):
     """Window sums for `w_cnt` windows of signed digits [w_cnt, n] over the
     extended points [P | -P | inf].  Shared by the single-chip jit and the
     shard_map'ed multi-chip path (which slices a window range per device —
@@ -371,12 +379,15 @@ def _pipeline_core(ext_px, ext_py, ext_zb, digits, *, n, c, w_cnt, t_rows,
     # x/y gather in packed limb-pair form (half the bytes of unpacked limbs);
     # z is a 1-bit liveness gather (covers input infinities AND the sentinel)
     if pallas:
-        from .pallas_kernels import g1_fold_rows_packed_pallas
+        from .pallas_kernels import (
+            g1_fold_rows_madd_pallas, g1_fold_rows_packed_pallas,
+        )
 
         gx = _take1(ext_px, plan)
         gy = _take1(ext_py, plan)
         gzb = jnp.take(ext_zb, plan.reshape(-1)).reshape(t_rows, s_pad)
-        acc = PointsXYZ(*g1_fold_rows_packed_pallas(gx, gy, gzb))
+        fold = g1_fold_rows_madd_pallas if madd else g1_fold_rows_packed_pallas
+        acc = PointsXYZ(*fold(gx, gy, gzb))
     else:
         one_col = FQ.const(1, (1,))
 
@@ -548,11 +559,17 @@ def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
 def _dispatch_pipeline(bases: DeviceBases, scalars: list[int],
                        params: MsmParams):
     """Queue one pipeline execution (async; caller syncs via np.asarray)."""
+    from . import aot
+
     limbs = jnp.asarray(_scalars_to_limbs(scalars, params.n))
+    pallas, madd = use_pallas(), use_madd()
+    fn = aot.maybe_load(params, pallas, madd)
+    if fn is not None:  # AOT blob: skips the per-process pipeline lowering
+        return fn(bases.ext_px, bases.ext_py, bases.ext_zb, limbs)
     return _msm_pipeline(
         bases.ext_px, bases.ext_py, bases.ext_zb, limbs,
         n=params.n, c=params.c, t_rows=params.t_rows, s_pad=params.s_pad,
-        pallas=use_pallas())
+        pallas=pallas, madd=madd)
 
 
 def _horner_windows(win: list[G1], c_bits: int) -> G1:

@@ -112,6 +112,33 @@ def _k_g1_add(p, q):
     return X3, Y3n, Z3n
 
 
+def _k_g1_madd(p, q):
+    """Complete MIXED addition P + Q with Q affine (Z2 = 1 implicit):
+    Renes–Costello–Batina 2016 algorithm 8 specialised to a = 0 — 11 field
+    muls vs 12 for the full `_k_g1_add`, plus ~6 fewer modular adds.
+    Complete in P (covers P = infinity, P = ±Q); Q must be an actual curve
+    point — callers handle dead/infinity Q lanes by selecting the
+    accumulator unchanged on a z liveness bit (see the madd fold kernel)."""
+    X1, Y1, Z1 = p
+    X2, Y2 = q
+    t0 = _k_mul(X1, X2)
+    t1 = _k_mul(Y1, Y2)
+    t3 = _k_mul(_k_add(X2, Y2), _k_add(X1, Y1))
+    t3 = _k_sub(t3, _k_add(t0, t1))           # X1·Y2 + X2·Y1
+    t4 = _k_add(_k_mul(Y2, Z1), Y1)           # Y2·Z1 + Y1
+    Y3 = _k_add(_k_mul(X2, Z1), X1)           # X2·Z1 + X1
+    X3 = _k_add(t0, t0)
+    t0 = _k_add(X3, t0)                       # 3·X1·X2
+    t2 = _k_mul_b3(Z1)                        # 3b·Z1
+    Z3 = _k_add(t1, t2)
+    t1 = _k_sub(t1, t2)
+    Y3 = _k_mul_b3(Y3)
+    X3 = _k_sub(_k_mul(t3, t1), _k_mul(t4, Y3))
+    Y3n = _k_add(_k_mul(Y3, t0), _k_mul(t1, Z3))
+    Z3n = _k_add(_k_mul(Z3, t4), _k_mul(t0, t3))
+    return X3, Y3n, Z3n
+
+
 def _load_point(refs):
     x_ref, y_ref, z_ref = refs
     return ([x_ref[i, :] for i in range(L)],
@@ -238,44 +265,70 @@ def _g1_fold_rows_kernel(x_ref, y_ref, z_ref, ox, oy, oz):
     _store_point((ox, oy, oz), acc)
 
 
-def _g1_fold_rows_packed_kernel(px_ref, py_ref, zb_ref, ox, oy, oz):
-    """Packed twin of _g1_fold_rows_kernel: x/y arrive as 12 uint32 rows of
-    16-bit limb PAIRS (halving the gather traffic that feeds the fold) and z
-    as a per-entry liveness bit (z of every extended point is 1 or 0)."""
-    j = pl.program_id(1)
+def _unpack_pair_row(ref, t):
+    """One [L//2, T, S] limb-pair ref at row t -> list of L [S]-wide rows."""
+    rows = []
+    for k in range(L // 2):
+        v = ref[k, t, :]
+        rows.append(v & 0xFFFF)
+        rows.append(v >> 16)
+    return rows
+
+
+def _fold_acc_init(refs, j, width):
+    """Fold accumulator for grid step j: infinity on the first T step, else
+    the VMEM-resident output block."""
+    ox, oy, oz = refs
     first = j == 0
-    width = px_ref.shape[2]
     acc_x = [jnp.where(first, jnp.zeros((width,), jnp.uint32), ox[i, :])
              for i in range(L)]
     acc_y = [jnp.where(first, jnp.full((width,), _ONE_MONT[i], jnp.uint32),
                        oy[i, :]) for i in range(L)]
     acc_z = [jnp.where(first, jnp.zeros((width,), jnp.uint32), oz[i, :])
              for i in range(L)]
-    acc = (acc_x, acc_y, acc_z)
+    return acc_x, acc_y, acc_z
 
-    def unpack(ref, t):
-        rows = []
-        for k in range(L // 2):
-            v = ref[k, t, :]
-            rows.append(v & 0xFFFF)
-            rows.append(v >> 16)
-        return rows
+
+def _g1_fold_rows_packed_kernel(px_ref, py_ref, zb_ref, ox, oy, oz):
+    """Packed twin of _g1_fold_rows_kernel: x/y arrive as 12 uint32 rows of
+    16-bit limb PAIRS (halving the gather traffic that feeds the fold) and z
+    as a per-entry liveness bit (z of every extended point is 1 or 0)."""
+    acc = _fold_acc_init((ox, oy, oz), pl.program_id(1), px_ref.shape[2])
 
     def body(t, acc):
         zb = zb_ref[t, :] != 0
         qz = [jnp.where(zb, jnp.uint32(_ONE_MONT[i]), jnp.uint32(0))
               for i in range(L)]
-        q = (unpack(px_ref, t), unpack(py_ref, t), qz)
+        q = (_unpack_pair_row(px_ref, t), _unpack_pair_row(py_ref, t), qz)
         return _k_g1_add(acc, q)
 
     acc = jax.lax.fori_loop(0, _T_BLK, body, acc)
     _store_point((ox, oy, oz), acc)
 
 
-@jax.jit
-def g1_fold_rows_packed_pallas(px, py, zb):
-    """px, py: [12, T, S] uint32 limb-pairs; zb: [T, S] uint32 liveness ->
-    folded [L, S] x3 (Montgomery)."""
+def _g1_fold_rows_madd_kernel(px_ref, py_ref, zb_ref, ox, oy, oz):
+    """Mixed-add twin of _g1_fold_rows_packed_kernel.  The gathered bases are
+    affine (their z is exactly 0 or 1), so each accumulate runs the 11-mul
+    complete mixed add `_k_g1_madd` instead of the 12-mul full add; dead
+    lanes (zb = 0: input infinities and the plan's dead-slot sentinel) keep
+    the accumulator through a per-row select — 3·24 one-op selects against a
+    ~2300-lane-op saved multiply."""
+    acc = _fold_acc_init((ox, oy, oz), pl.program_id(1), px_ref.shape[2])
+
+    def body(t, acc):
+        zb = zb_ref[t, :] != 0
+        q = (_unpack_pair_row(px_ref, t), _unpack_pair_row(py_ref, t))
+        rx, ry, rz = _k_g1_madd(acc, q)
+        ax, ay, az = acc
+        return ([jnp.where(zb, r, a) for r, a in zip(rx, ax)],
+                [jnp.where(zb, r, a) for r, a in zip(ry, ay)],
+                [jnp.where(zb, r, a) for r, a in zip(rz, az)])
+
+    acc = jax.lax.fori_loop(0, _T_BLK, body, acc)
+    _store_point((ox, oy, oz), acc)
+
+
+def _fold_packed_call(kernel, px, py, zb):
     _, t_rows, n = px.shape
     spec_in = pl.BlockSpec((L // 2, _T_BLK, _BLOCK), lambda i, j: (0, j, i),
                            memory_space=pltpu.VMEM)
@@ -286,12 +339,26 @@ def g1_fold_rows_packed_pallas(px, py, zb):
     out_shape = tuple(jax.ShapeDtypeStruct((L, n), jnp.uint32)
                       for _ in range(3))
     return pl.pallas_call(
-        _g1_fold_rows_packed_kernel,
+        kernel,
         out_shape=out_shape,
         grid=(n // _BLOCK, t_rows // _T_BLK),
         in_specs=[spec_in, spec_in, spec_zb],
         out_specs=(spec_out, spec_out, spec_out),
     )(px, py, zb)
+
+
+@jax.jit
+def g1_fold_rows_packed_pallas(px, py, zb):
+    """px, py: [12, T, S] uint32 limb-pairs; zb: [T, S] uint32 liveness ->
+    folded [L, S] x3 (Montgomery)."""
+    return _fold_packed_call(_g1_fold_rows_packed_kernel, px, py, zb)
+
+
+@jax.jit
+def g1_fold_rows_madd_pallas(px, py, zb):
+    """Mixed-add fold: same interface as g1_fold_rows_packed_pallas but each
+    accumulate is the 11-mul complete mixed add (bases affine, Z2 = 1)."""
+    return _fold_packed_call(_g1_fold_rows_madd_kernel, px, py, zb)
 
 
 @jax.jit

@@ -80,9 +80,11 @@ def _sharded_step(pts, limbs, *, mesh, n_local, c, w_local, t_rows, s_pad,
         digits = _signed_digits(lb, n_local, c)           # all windows
         j = lax.axis_index("windows")
         mine = lax.dynamic_slice_in_dim(digits, j * w_local, w_local, axis=0)
+        from ..ops.msm_device import use_madd
+
         out = _pipeline_core(ext_px, ext_py, ext_zb, mine, n=n_local, c=c,
                              w_cnt=w_local, t_rows=t_rows, s_pad=s_pad,
-                             pallas=pallas)
+                             pallas=pallas, madd=use_madd())
         return out[None, None]                            # [1, 1, 3, 24, Wl]
 
     return jax.shard_map(

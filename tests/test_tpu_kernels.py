@@ -72,7 +72,12 @@ def test_msm_device_end_to_end_both_windows():
     ss = [rnd.randrange(R) for _ in range(n)]
     ss[0] = 0
     want = native.msm(pts, ss) if native.available() else None
-    for c in (8, 16):
-        got = msm_device(pts, ss, c=c)
+    # (16, "0") pins the 12-mul full-add fold so both fold kernels get a KAT
+    for c, madd in ((8, "1"), (16, "1"), (16, "0")):
+        os.environ["CURDLEPROOFS_MADD"] = madd
+        try:
+            got = msm_device(pts, ss, c=c)
+        finally:
+            os.environ.pop("CURDLEPROOFS_MADD", None)
         if want is not None:
-            assert got.to_affine() == want.to_affine(), f"c={c}"
+            assert got.to_affine() == want.to_affine(), f"c={c} madd={madd}"
