@@ -310,11 +310,15 @@ def _msm_pipeline(ext_px, ext_py, ext_zb, limbs, *, n, c, t_rows, s_pad,
 
 
 def _pipeline_core(ext_px, ext_py, ext_zb, digits, *, n, c, w_cnt, t_rows,
-                   s_pad, pallas, madd=True):
+                   s_pad, pallas, madd=True, to_canonical=True):
     """Window sums for `w_cnt` windows of signed digits [w_cnt, n] over the
     extended points [P | -P | inf].  Shared by the single-chip jit and the
     shard_map'ed multi-chip path (which slices a window range per device —
-    SURVEY.md §2c rows 2-3); traced inline into the caller's program."""
+    SURVEY.md §2c rows 2-3); traced inline into the caller's program.
+
+    `to_canonical=False` keeps the window sums in Montgomery form so a
+    caller can continue doing group math on them (the sharded path's
+    cross-device ppermute tree reduction) before leaving the domain."""
     b_cnt = 1 << (c - 1)
     wb = w_cnt * b_cnt
     g_chunks, cb = _phase3_chunks(c, w_cnt)
@@ -499,7 +503,13 @@ def _pipeline_core(ext_px, ext_py, ext_zb, digits, *, n, c, w_cnt, t_rows,
         k //= 2
     wsum = _dev_add(lwsum, s2, pallas)
 
-    # -- 12. leave Montgomery form on device ------------------------------
+    if not to_canonical:
+        return jnp.stack([wsum.x, wsum.y, wsum.z])
+    return _leave_montgomery(wsum)
+
+
+def _leave_montgomery(wsum: PointsXYZ):
+    """[24, W] x3 Montgomery -> canonical (mul by plain 1 = mont-reduce)."""
     one_plain = jnp.asarray(int_to_limbs(1, FQ.L)).reshape(FQ.L, 1)
     return jnp.stack([FQ.mul(wsum.x, one_plain), FQ.mul(wsum.y, one_plain),
                       FQ.mul(wsum.z, one_plain)])

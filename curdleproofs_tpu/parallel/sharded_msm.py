@@ -12,9 +12,12 @@ kernel (ops/msm_device.py):
   only its window range, cutting both the per-device fold entries and the
   fixed W*B bucket-reduction term by the axis size.
 
-EC addition is not an arithmetic `psum`, so per-device window sums are
-returned per-shard (shard_map stacks them) and the tiny cross-device
-combine — D*W point additions + the Horner ladder — runs on host.
+EC addition is not an arithmetic `psum`, so the cross-device combine over
+the points axis is a recursive-doubling ppermute butterfly of complete G1
+adds on device (log2(Dp) exchange+add steps over the tiny [3, 24, Wl]
+window-sum tensor); the host only runs the final W-window Horner ladder.
+Non-power-of-2 point axes fall back to stacking the per-shard sums and
+adding them on host.
 
 This scales the verifier's one giant deduped MSM (the reference's rayon
 `VariableBaseMSM`, util.rs:19-22 / msm_accumulator.rs:55-68) across chips.
@@ -58,17 +61,25 @@ def _pick_c(n_total: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "n_local", "c", "w_local", "t_rows", "s_pad",
-                     "pallas"))
+                     "pallas", "device_reduce"))
 def _sharded_step(pts, limbs, *, mesh, n_local, c, w_local, t_rows, s_pad,
-                  pallas):
-    """pts: [24, n] x3 plain points; limbs [16, n].  Returns
-    [Dp, Dw, 3, 24, w_local] per-device window sums (canonical)."""
-    w_total = -(-255 // c)
+                  pallas, device_reduce=False):
+    """pts: [24, n] x3 plain points; limbs [16, n].
+
+    Returns per-device window sums (canonical projective):
+    [Dp, Dw, 3, 24, w_local] in the default mode, or [1, Dw, 3, 24, w_local]
+    with `device_reduce` — the points axis is then collapsed ON DEVICE by a
+    log2(Dp)-step ppermute butterfly of complete G1 adds (the EC analogue of
+    an ICI all-reduce: group addition has no `psum`, so the collective is a
+    recursive-doubling exchange + on-device adds), and the host combine
+    drops from Dp*Dw*Wl point additions to none at all."""
+    dp = mesh.devices.shape[0]
 
     def local(px, py, pz, lb):
         # extend the local shard to packed [P | -P | inf] + z liveness bits
         from ..ops.field import FQ
-        from ..ops.msm_device import _pack_rows
+        from ..ops.g1_ops import _g1_add_jnp
+        from ..ops.msm_device import _leave_montgomery, _pack_rows, use_madd
 
         inf = g1_infinity((1,))
         ppx = _pack_rows(px)
@@ -80,13 +91,39 @@ def _sharded_step(pts, limbs, *, mesh, n_local, c, w_local, t_rows, s_pad,
         digits = _signed_digits(lb, n_local, c)           # all windows
         j = lax.axis_index("windows")
         mine = lax.dynamic_slice_in_dim(digits, j * w_local, w_local, axis=0)
-        from ..ops.msm_device import use_madd
 
         out = _pipeline_core(ext_px, ext_py, ext_zb, mine, n=n_local, c=c,
                              w_cnt=w_local, t_rows=t_rows, s_pad=s_pad,
-                             pallas=pallas, madd=use_madd())
+                             pallas=pallas, madd=use_madd(),
+                             to_canonical=not device_reduce)
+        if device_reduce:
+            # butterfly all-reduce over the points axis in Montgomery form;
+            # the [24, Wl] shapes are tiny, so the jnp complete add is used
+            # (no extra pallas kernel instance to lower/compile)
+            acc = PointsXYZ(out[0], out[1], out[2])
+            step = 1
+            while step < dp:
+                perm = [(i, i ^ step) for i in range(dp)]
+                q = PointsXYZ(
+                    lax.ppermute(acc.x, "points", perm),
+                    lax.ppermute(acc.y, "points", perm),
+                    lax.ppermute(acc.z, "points", perm))
+                acc = _g1_add_jnp(acc, q)
+                step *= 2
+            out = _leave_montgomery(acc)
         return out[None, None]                            # [1, 1, 3, 24, Wl]
 
+    if device_reduce:
+        assert dp & (dp - 1) == 0, "device_reduce needs a power-of-2 axis"
+        # every device holds the reduced sums; emit rank 0's copy only
+        # (check_vma can't see through the ppermute butterfly, hence False)
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, "points"), P(None, "points"), P(None, "points"),
+                      P(None, "points")),
+            out_specs=P(None, "windows", None, None, None),
+            check_vma=False,
+        )(pts.x, pts.y, pts.z, limbs)
     return jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, "points"), P(None, "points"), P(None, "points"),
@@ -113,6 +150,11 @@ def sharded_msm_kernel(mesh: Mesh, n_total: int, c: int | None = None):
     s_pad = slot_bound(n_local, w_local, c, t_rows)
     pallas = use_pallas()
 
+    # the points axis reduces on device (ppermute butterfly) whenever it is
+    # a power of 2 — the host then sees exactly W window sums regardless of
+    # Dp, so the combine cost no longer grows with the mesh
+    device_reduce = dp > 1 and (dp & (dp - 1)) == 0
+
     def run(points: list[G1], scalars: list[int]) -> G1:
         assert len(points) <= n_pad
         pts = points_to_device(
@@ -120,13 +162,16 @@ def sharded_msm_kernel(mesh: Mesh, n_total: int, c: int | None = None):
         limbs = jnp.asarray(_scalars_to_limbs(list(scalars), n_pad))
         out = np.asarray(_sharded_step(
             pts, limbs, mesh=mesh, n_local=n_local, c=c, w_local=w_local,
-            t_rows=t_rows, s_pad=s_pad, pallas=pallas))
-        # host combine: Dp*Dw*Wl window-sum points -> W windows -> Horner
+            t_rows=t_rows, s_pad=s_pad, pallas=pallas,
+            device_reduce=device_reduce))
+        # host combine: [Rp, Dw, 3, 24, Wl] window sums -> W windows -> Horner
+        # (Rp = 1 when the points axis was reduced on device)
         shard_pts = _window_sums_to_host(
             out.transpose(2, 3, 0, 1, 4).reshape(3, 24, -1))
+        rp = out.shape[0]
         win = [G1.infinity() for _ in range(w_total)]
         k = 0
-        for i in range(dp):
+        for i in range(rp):
             for j in range(dw):
                 for l in range(w_local):
                     win[j * w_local + l] = win[j * w_local + l].add(

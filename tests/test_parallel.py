@@ -56,3 +56,13 @@ def test_sharded_msm_on_sub_mesh(points64):
     mesh = make_msm_mesh(4)
     got = sharded_msm(points64, scalars, mesh)
     assert got == HostBackend().msm(points64, scalars)
+
+
+def test_sharded_msm_non_pow2_points_axis(points64):
+    """Dp=6 exercises the host-combine fallback (the on-device ppermute
+    butterfly needs a power-of-2 points axis)."""
+    scalars = [rnd.randrange(R) for _ in range(64)]
+    mesh = make_msm_mesh(6)
+    assert mesh.devices.shape == (6, 1)
+    got = sharded_msm(points64, scalars, mesh)
+    assert got == HostBackend().msm(points64, scalars)
