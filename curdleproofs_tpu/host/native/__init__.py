@@ -57,6 +57,8 @@ def lib() -> ctypes.CDLL | None:
         "cp_export_mont_affine": [ctypes.c_char_p, ctypes.c_uint64,
                                   ctypes.c_char_p, ctypes.c_char_p,
                                   ctypes.c_char_p],
+        "cp_export_mont_x": [ctypes.c_char_p, ctypes.c_uint64,
+                             ctypes.c_char_p, ctypes.c_char_p],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
@@ -210,6 +212,28 @@ def export_mont_affine(points: list[G1], n_pad: int):
     zb = np.zeros(n_pad, dtype=np.uint32)
     zb[:n] = np.frombuffer(ozb.raw, dtype=np.uint8)
     return pack(ox, 0), pack(oy, one_mont), zb
+
+
+def export_mont_x(points: list[G1], n_pad: int):
+    """Compressed twin of `export_mont_affine`: (px, meta) where px is the
+    [12, n_pad] packed Montgomery x limb pairs and meta a [n_pad] uint32 of
+    `liveness | (canonical_y_parity << 1)` — 49 B/point over the link; the
+    device reconstructs y via the sqrt kernel.  Padding columns are the
+    identity (x=0, meta=0)."""
+    import numpy as np
+
+    n = len(points)
+    ox = ctypes.create_string_buffer(48 * n)
+    om = ctypes.create_string_buffer(n)
+    lib().cp_export_mont_x(pts_to_bytes(points), n, ox, om)
+
+    a = np.frombuffer(ox.raw, dtype="<u2").reshape(n, 24)
+    px = np.zeros((12, n_pad), dtype=np.uint32)
+    px[:, :n] = (a[:, 0::2].astype(np.uint32)
+                 | (a[:, 1::2].astype(np.uint32) << 16)).T
+    meta = np.zeros(n_pad, dtype=np.uint32)
+    meta[:n] = np.frombuffer(om.raw, dtype=np.uint8)
+    return px, meta
 
 
 def batch_mul_glv(points: list[G1], scalar: int) -> list[G1]:

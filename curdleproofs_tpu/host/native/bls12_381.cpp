@@ -904,6 +904,28 @@ void cp_export_mont_affine(const uint8_t *points, uint64_t n,
     }
 }
 
+// Compressed device upload: affine MONTGOMERY x plus ONE metadata byte per
+// point (bit0 = liveness, bit1 = canonical-y parity).  The device rebuilds
+// y with the sqrt kernel (ops/pallas_kernels.py g1_sqrt), so the slow
+// host->device link carries 48+1 bytes per point instead of 96+1.
+void cp_export_mont_x(const uint8_t *points, uint64_t n,
+                      uint8_t *out_x, uint8_t *out_meta) {
+    std::vector<G1> pts(n);
+    for (uint64_t i = 0; i < n; ++i) load_g1(points + 144 * i, pts[i]);
+    batch_normalize(pts.data(), n);
+    for (uint64_t i = 0; i < n; ++i) {
+        if (g1_is_inf(pts[i])) {
+            std::memset(out_x + 48 * i, 0, 48);
+            out_meta[i] = 0;
+        } else {
+            std::memcpy(out_x + 48 * i, pts[i].x.l, 48);
+            Fq y = pts[i].y;
+            from_mont(y);
+            out_meta[i] = (uint8_t)(1u | ((y.l[0] & 1u) << 1));
+        }
+    }
+}
+
 // fold with normalised output: out[i] = left[i] + k1*R_i + k2*phi(R_i), z=1
 void cp_dual_mul_norm(const uint8_t *left_bytes, const uint8_t *points,
                       uint64_t n, const uint8_t *beta48,

@@ -153,6 +153,63 @@ def _extend_packed(pts: PointsXYZ):
     return px, py, zbit
 
 
+def use_compressed_upload() -> bool:
+    """Reconstruct y on device from x + parity (49 B/point instead of 97)
+    whenever the Pallas sqrt kernel is available; CURDLEPROOFS_COMPRESS=0/1
+    overrides. The slow axon host->device link (~14 MB/s) makes fresh-base
+    uploads the dominant cost of batch-scale MSMs; the sqrt chain (~573
+    field muls/point) is cheaper than the 48 bytes it saves."""
+    import os
+
+    v = os.environ.get("CURDLEPROOFS_COMPRESS")
+    if v is not None:
+        return v != "0"
+    from .g1_ops import use_pallas
+
+    return use_pallas()
+
+
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def _ingest_compressed(pxp, meta, *, pallas):
+    """Packed Montgomery x limb pairs [12, n] + meta bits [n]
+    (liveness | canonical_y_parity << 1) -> extended resident layout.
+
+    y is rebuilt on device: y_cand = (x^3 + b)^((q+1)/4) via the Pallas sqrt
+    chain (or its jnp twin), then sign-fixed against the parity bit and
+    forced to the identity representation (0, 1_mont) on dead lanes."""
+    from ..constants import CURVE_B
+    from .pallas_kernels import SQRT_DIGITS, g1_sqrt_pallas
+
+    n = pxp.shape[1]
+    digits = jnp.asarray(SQRT_DIGITS, jnp.int32)
+    if pallas:
+        y = g1_sqrt_pallas(pxp, digits)
+    else:
+        # jnp twin of the kernel chain via FQ.mul (per-backend mul
+        # formulation: XLA:CPU chokes compiling the unrolled row mul the
+        # kernel uses, so this path picks the loop CIOS instead)
+        x = _unpack_rows(pxp)
+        u = FQ.add(FQ.mul(FQ.mul(x, x), x), FQ.const(CURVE_B, (n,)))
+        one = FQ.const(1, (n,))
+        tab = jnp.stack([one, u, FQ.mul(u, u),
+                         FQ.mul(FQ.mul(u, u), u)])
+
+        def body(j, acc):
+            acc = FQ.mul(acc, acc)
+            acc = FQ.mul(acc, acc)
+            return FQ.mul(acc, tab[digits[j]])
+
+        y = lax.fori_loop(0, len(SQRT_DIGITS), body, one)
+
+    live = meta & 1
+    want = (meta >> 1) & 1
+    one_plain = jnp.asarray(int_to_limbs(1, FQ.L)).reshape(FQ.L, 1)
+    lsb = FQ.mul(y, one_plain)[0] & 1          # canonical-domain parity
+    y = jnp.where(((lsb ^ want) == 1)[None, :], FQ.neg(y), y)
+    y = jnp.where((live == 1)[None, :], y, FQ.const(1, (n,)))
+    return _ingest_packed_mont(pxp, _pack_rows(y), live)
+
+
 @jax.jit
 def _ingest_packed_mont(pxp, pyp, zb):
     """Packed Montgomery affine limb pairs [12, n] + liveness bits [n] ->
@@ -193,7 +250,11 @@ class DeviceBases:
             # share one compile); must be a pad_n fixed point
             assert n_pad >= len(points) and pad_n(n_pad) == n_pad
             self.n = n_pad
-        if native.available() and points:
+        if native.available() and points and use_compressed_upload():
+            px, meta = native.export_mont_x(points, self.n)
+            self.ext_px, self.ext_py, self.ext_zb = _ingest_compressed(
+                jnp.asarray(px), jnp.asarray(meta), pallas=use_pallas())
+        elif native.available() and points:
             px, py, zb = native.export_mont_affine(points, self.n)
             self.ext_px, self.ext_py, self.ext_zb = _ingest_packed_mont(
                 jnp.asarray(px), jnp.asarray(py), jnp.asarray(zb))

@@ -139,6 +139,95 @@ def _k_g1_madd(p, q):
     return X3, Y3n, Z3n
 
 
+# --- modular square root (q = 3 mod 4): y = u^((q+1)/4) ----------------------
+
+_B_MONT = _rows(FQ.to_mont(CURVE_B))
+_SQRT_E = (Q + 1) // 4  # Tonelli exponent (q = 3 mod 4, so this sqrt is exact)
+
+
+def _sqrt_digits() -> list[int]:
+    """(q+1)/4 as MSB-first 2-bit digits for the windowed powering chain."""
+    nb = _SQRT_E.bit_length()
+    nb += nb & 1
+    return [(_SQRT_E >> (nb - 2 * (j + 1))) & 3 for j in range(nb // 2)]
+
+
+SQRT_DIGITS = _sqrt_digits()
+
+
+def _k_sqrt_candidate(x, read_digit):
+    """Row-list y-candidate for y^2 = x^3 + b: (x^3 + b)^((q+1)/4).
+
+    `read_digit(j)` returns the j-th 2-bit exponent digit as an int32 scalar
+    (SMEM ref read in the pallas kernel, constant-array index on the jnp
+    path).  Loop body is 2 squares + 1 table multiply; digit 0 multiplies by
+    Montgomery one (a wasted mul keeps the chain branch-free).  Works on any
+    row width; Montgomery domain in and out (mont ops are a ring
+    isomorphism, so the chain needs no domain conversions)."""
+    u = _k_mul(_k_mul(x, x), x)
+    b = [jnp.full_like(x[0], _B_MONT[i]) for i in range(L)]
+    u = _k_add(u, b)
+    u2 = _k_mul(u, u)
+    u3 = _k_mul(u2, u)
+    one = [jnp.full_like(x[0], _ONE_MONT[i]) for i in range(L)]
+
+    def body(j, acc):
+        acc = _k_mul(acc, acc)
+        acc = _k_mul(acc, acc)
+        d = read_digit(j)
+        m = [jnp.where(d == 1, u[i],
+                       jnp.where(d == 2, u2[i],
+                                 jnp.where(d == 3, u3[i], one[i])))
+             for i in range(L)]
+        return _k_mul(acc, m)
+
+    return jax.lax.fori_loop(0, len(SQRT_DIGITS), body, list(one))
+
+
+def _g1_sqrt_kernel(px_ref, d_ref, oy):
+    """px_ref: [12, S] packed Montgomery x limb pairs; d_ref: SMEM exponent
+    digits; oy: [24, S] y-candidate rows (sign/liveness fixed by the XLA
+    caller, which knows the parity bits)."""
+    rows = []
+    for k in range(L // 2):
+        v = px_ref[k, :]
+        rows.append(v & 0xFFFF)
+        rows.append(v >> 16)
+    y = _k_sqrt_candidate(rows, lambda j: d_ref[j])
+    for i in range(L):
+        oy[i, :] = y[i]
+
+
+@jax.jit
+def g1_sqrt_pallas(pxp, digits):
+    """pxp: [12, n] packed Montgomery x limb pairs -> [24, n] y-candidate
+    rows with y = (x^3 + b)^((q+1)/4); digits: int32 [len(SQRT_DIGITS)].
+    n is padded to the lane-block size internally (callers mask dead lanes
+    by their liveness bits anyway)."""
+    n = pxp.shape[1]
+    pad = (-n) % _BLOCK
+    if pad:
+        pxp = jnp.pad(pxp, ((0, 0), (0, pad)))
+    out = _g1_sqrt_call(pxp, digits)
+    return out[:, :n] if pad else out
+
+
+def _g1_sqrt_call(pxp, digits):
+    n = pxp.shape[1]
+    return pl.pallas_call(
+        _g1_sqrt_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        grid=(n // _BLOCK,),
+        in_specs=[
+            pl.BlockSpec((L // 2, _BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((L, _BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+    )(pxp, digits)
+
+
 def _load_point(refs):
     x_ref, y_ref, z_ref = refs
     return ([x_ref[i, :] for i in range(L)],

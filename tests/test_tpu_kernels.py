@@ -58,6 +58,35 @@ def test_pallas_g1_add_kat():
 
 
 @requires_tpu
+def test_pallas_sqrt_compressed_ingest_kat():
+    """The compressed-upload sqrt kernel reproduces the uncompressed
+    resident layout bit for bit on hardware (incl. identity + parity)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from curdleproofs_tpu.host import native
+    from curdleproofs_tpu.host.g1 import G1
+    from curdleproofs_tpu.host.rng import StdRng
+    from curdleproofs_tpu.ops.msm_device import (
+        _ingest_compressed, _ingest_packed_mont,
+    )
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = StdRng.seed_from_u64(13)
+    pts = [rng.rand_g1() for _ in range(600)]
+    pts += [G1.infinity(), pts[0].neg()]
+    n = 640
+    px, meta = native.export_mont_x(pts, n)
+    got = _ingest_compressed(jnp.asarray(px), jnp.asarray(meta), pallas=True)
+    upx, upy, uzb = native.export_mont_affine(pts, n)
+    want = _ingest_packed_mont(jnp.asarray(upx), jnp.asarray(upy),
+                               jnp.asarray(uzb))
+    for g, w, name in zip(got, want, ("ext_px", "ext_py", "ext_zb")):
+        assert np.array_equal(np.asarray(g), np.asarray(w)), name
+
+
+@requires_tpu
 def test_msm_device_end_to_end_both_windows():
     """Full pipeline (sort/plan/fold/merge/reduction kernels) vs host C++."""
     from curdleproofs_tpu.constants import R
