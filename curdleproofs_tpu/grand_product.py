@@ -16,7 +16,7 @@ from .host.serde import fr_from_bytes, fr_to_bytes, g1_from_bytes, g1_to_bytes
 from .ipa import InnerProductProof
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
-from .util import generate_blinders, inner_product, msm
+from .util import fr_power_vector, generate_blinders, inner_product, msm
 
 __all__ = ["GrandProductProof"]
 
@@ -67,14 +67,11 @@ class GrandProductProof:
         beta_inv = fr_inv(beta)
 
         # Step 3: rescaled bases and shifted witness
-        beta_inv_pows = []
-        pow_beta_inv = beta_inv
-        for _ in range(ell):
-            beta_inv_pows.append(pow_beta_inv)
-            pow_beta_inv = pow_beta_inv * beta_inv % R
+        powers = fr_power_vector(beta_inv, ell + 1)
+        beta_inv_pows = powers[:ell]
         vec_G_prime = backend.batch_mul_each(crs_G_vec, beta_inv_pows)
 
-        beta_inv_ell1 = fr_pow(beta_inv, ell + 1)
+        beta_inv_ell1 = powers[ell]
         vec_H_prime = backend.batch_mul(crs_H_vec, beta_inv_ell1)
 
         vec_b_prime = []
@@ -142,14 +139,10 @@ class GrandProductProof:
         beta = transcript.get_and_append_challenge(b"gprod_beta")
         beta_inv = fr_inv(beta)
 
-        # Step 3: vec_u for the G'-discrete-log optimization
-        vec_u = []
-        pow_beta_inv = beta_inv
-        for _ in range(ell):
-            vec_u.append(pow_beta_inv)
-            pow_beta_inv = pow_beta_inv * beta_inv % R
-        beta_inv_ell1 = fr_pow(beta_inv, ell + 1)
-        vec_u.extend([beta_inv_ell1] * n_blinders)
+        # Step 3: vec_u for the G'-discrete-log optimization (one native
+        # power chain: [beta_inv^1 .. beta_inv^(ell+1)])
+        powers = fr_power_vector(beta_inv, ell + 1)
+        vec_u = powers[:ell] + [powers[ell]] * n_blinders
 
         # D from the CRS sums (2 scalar muls instead of n,
         # grand_product_argument.rs:223) — the concrete point is needed for

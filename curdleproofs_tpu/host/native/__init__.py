@@ -59,6 +59,12 @@ def lib() -> ctypes.CDLL | None:
                                   ctypes.c_char_p],
         "cp_export_mont_x": [ctypes.c_char_p, ctypes.c_uint64,
                              ctypes.c_char_p, ctypes.c_char_p],
+        "cp_fr_vsp": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+                      ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+                      ctypes.c_char_p],
+        "cp_fr_powers": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p],
+        "cp_fr_scale_vec": [ctypes.c_char_p, ctypes.c_char_p,
+                            ctypes.c_uint64, ctypes.c_char_p],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
@@ -212,6 +218,42 @@ def export_mont_affine(points: list[G1], n_pad: int):
     zb = np.zeros(n_pad, dtype=np.uint32)
     zb[:n] = np.frombuffer(ozb.raw, dtype=np.uint8)
     return pack(ox, 0), pack(oy, one_mont), zb
+
+
+def fr_vsp(challenges: list[int], n: int, cmul: int | None = None,
+           mulvec: list[int] | None = None, neg: bool = False) -> list[int]:
+    """Verification-scalar products with optional constant/vector scaling and
+    negation, whole chain native (one Montgomery mul per entry)."""
+    logn = len(challenges)
+    ch = b"".join(c.to_bytes(32, "little") for c in challenges)
+    cm = cmul.to_bytes(32, "little") if cmul is not None else None
+    mv = (b"".join(v.to_bytes(32, "little") for v in mulvec)
+          if mulvec is not None else None)
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_vsp(ch, logn, n, cm, mv, 1 if neg else 0, out)
+    raw = out.raw
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(n)]
+
+
+def fr_powers(base: int, n: int) -> list[int]:
+    """[base^1, ..., base^n] canonical, native."""
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_powers(base.to_bytes(32, "little"), n, out)
+    raw = out.raw
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(n)]
+
+
+def fr_scale(rf: int, xs: list[int]) -> list[int]:
+    """[rf * x mod r for x in xs], one native Montgomery mul per element."""
+    n = len(xs)
+    buf = b"".join(x.to_bytes(32, "little") for x in xs)
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_scale_vec(rf.to_bytes(32, "little"), buf, n, out)
+    raw = out.raw
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(n)]
 
 
 def export_mont_x(points: list[G1], n_pad: int):

@@ -1182,6 +1182,158 @@ void cp_msm_ba(const uint8_t *points, const uint8_t *scalars, uint64_t n,
 
 }  // extern "C"
 
+// ---- Fr (scalar field) Montgomery arithmetic: 4x64 CIOS ----
+// The batch-verification replay burns most of its time in python bigint
+// mulmods over Fr (IPA verification-scalar chains, power vectors); these
+// kernels run whole chains natively on 32-byte LE canonical boundaries.
+
+namespace {
+
+struct Fr4 {
+    u64 l[4];
+};
+
+inline void fr4_mont_mul(const Fr4 &a, const Fr4 &b, Fr4 &r) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        unsigned __int128 c = 0;
+        for (int j = 0; j < 4; ++j) {
+            unsigned __int128 cur =
+                (unsigned __int128)a.l[j] * b.l[i] + t[j] + (u64)c;
+            t[j] = (u64)cur;
+            c = cur >> 64;
+        }
+        unsigned __int128 cur = (unsigned __int128)t[4] + (u64)c;
+        t[4] = (u64)cur;
+        t[5] = (u64)(cur >> 64);
+        u64 m = t[0] * FR_INV64;
+        c = ((unsigned __int128)m * R_ORDER[0] + t[0]) >> 64;
+        for (int j = 1; j < 4; ++j) {
+            cur = (unsigned __int128)m * R_ORDER[j] + t[j] + (u64)c;
+            t[j - 1] = (u64)cur;
+            c = cur >> 64;
+        }
+        cur = (unsigned __int128)t[4] + (u64)c;
+        t[3] = (u64)cur;
+        t[4] = t[5] + (u64)(cur >> 64);
+        t[5] = 0;
+    }
+    bool ge = t[4] != 0;
+    if (!ge) {
+        ge = true;
+        for (int j = 3; j >= 0; --j) {
+            if (t[j] != R_ORDER[j]) {
+                ge = t[j] > R_ORDER[j];
+                break;
+            }
+        }
+    }
+    if (ge) {
+        unsigned __int128 borrow = 0;
+        for (int j = 0; j < 4; ++j) {
+            unsigned __int128 cur = (unsigned __int128)t[j] - R_ORDER[j]
+                                    - (u64)borrow;
+            r.l[j] = (u64)cur;
+            borrow = (cur >> 64) ? 1 : 0;
+        }
+    } else {
+        for (int j = 0; j < 4; ++j) r.l[j] = t[j];
+    }
+}
+
+inline void fr4_load(const uint8_t *in, Fr4 &out) {  // canonical LE -> mont
+    std::memcpy(out.l, in, 32);
+    Fr4 r2;
+    std::memcpy(r2.l, FR_R2, 32);
+    Fr4 t;
+    fr4_mont_mul(out, r2, t);
+    out = t;
+}
+
+inline void fr4_store(const Fr4 &in, uint8_t *out, bool negate) {
+    Fr4 one = {{1, 0, 0, 0}};  // mont_mul by plain 1 == from_mont
+    Fr4 v;
+    fr4_mont_mul(in, one, v);
+    bool zero = (v.l[0] | v.l[1] | v.l[2] | v.l[3]) == 0;
+    if (negate && !zero) {
+        unsigned __int128 borrow = 0;
+        Fr4 n;
+        for (int j = 0; j < 4; ++j) {
+            unsigned __int128 cur = (unsigned __int128)R_ORDER[j] - v.l[j]
+                                    - (u64)borrow;
+            n.l[j] = (u64)cur;
+            borrow = (cur >> 64) ? 1 : 0;
+        }
+        v = n;
+    }
+    std::memcpy(out, v.l, 32);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Verification-scalar products (util.py semantics): out[i] =
+// cmul * prod_{j: bit (logn-1-j) of i set} ch[j]  [* mulvec[i]]  [negated].
+// One Montgomery mul per entry via s_i = s_{i & (i-1)} * ch[logn-1-ctz(i)].
+// All byte vectors are 32-byte LE canonical Fr.
+void cp_fr_vsp(const uint8_t *ch, uint64_t logn, uint64_t n,
+               const uint8_t *cmul, const uint8_t *mulvec, int32_t neg,
+               uint8_t *out) {
+    Fr4 c[32];
+    for (uint64_t i = 0; i < logn && i < 32; ++i) fr4_load(ch + 32 * i, c[i]);
+    std::vector<Fr4> s(n);
+    if (cmul) {
+        fr4_load(cmul, s[0]);
+    } else {
+        std::memcpy(s[0].l, FR_ONE_MONT, 32);
+    }
+    for (uint64_t i = 1; i < n; ++i) {
+        int b = __builtin_ctzll(i);
+        fr4_mont_mul(s[i & (i - 1)], c[logn - 1 - b], s[i]);
+    }
+    for (uint64_t i = 0; i < n; ++i) {
+        Fr4 v = s[i];
+        if (mulvec) {
+            Fr4 m;
+            fr4_load(mulvec + 32 * i, m);
+            Fr4 t;
+            fr4_mont_mul(v, m, t);
+            v = t;
+        }
+        fr4_store(v, out + 32 * i, neg != 0);
+    }
+}
+
+// out[i] = rf * xs[i] mod r — canonical LE in and out.  One Montgomery mul
+// per element: mont_mul(x_plain, to_mont(rf)) = x*rf*R*R^-1 = x*rf.
+void cp_fr_scale_vec(const uint8_t *rf, const uint8_t *xs, uint64_t n,
+                     uint8_t *out) {
+    Fr4 f;
+    fr4_load(rf, f);  // f * R
+    for (uint64_t i = 0; i < n; ++i) {
+        Fr4 x, t;
+        std::memcpy(x.l, xs + 32 * i, 32);  // plain
+        fr4_mont_mul(x, f, t);              // = x * rf, already canonical
+        std::memcpy(out + 32 * i, t.l, 32);
+    }
+}
+
+// out[i] = base^(i+1) for i in [0, n) — canonical LE in and out.
+void cp_fr_powers(const uint8_t *base, uint64_t n, uint8_t *out) {
+    Fr4 b;
+    fr4_load(base, b);
+    Fr4 acc = b;
+    for (uint64_t i = 0; i < n; ++i) {
+        fr4_store(acc, out + 32 * i, false);
+        Fr4 t;
+        fr4_mont_mul(acc, b, t);
+        acc = t;
+    }
+}
+
+}  // extern "C"
+
 // ---- IFMA batch domain conversion + self-test ----
 
 #if CP_HAVE_IFMA

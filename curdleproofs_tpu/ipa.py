@@ -19,7 +19,8 @@ from .host.serde import (
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import (
-    generate_blinders, inner_product, msm, verification_scalar_products,
+    generate_blinders, inner_product, msm, scaled_verification_products,
+    verification_scalar_products,
 )
 
 __all__ = ["InnerProductProof", "generate_ipa_blinders"]
@@ -181,12 +182,21 @@ class InnerProductProof:
         alpha = transcript.get_and_append_challenge(b"ipa_alpha")
         beta = transcript.get_and_append_challenge(b"ipa_beta")
 
-        # Step 2
-        vec_gamma, vec_gamma_inv, vec_s, vec_inv_s = \
-            self.verification_scalars(n, transcript)
+        # Step 2 (the challenge loop; the s-vector products are fused with
+        # their scaling below, so only the challenges are materialised here)
+        lg_n = len(self.vec_L_C)
+        if lg_n >= 32 or n != (1 << lg_n):
+            raise VerificationError("bad IPA proof shape")
+        challenges = []
+        for i in range(lg_n):
+            transcript.append_points(
+                b"ipa_loop",
+                [self.vec_L_C[i], self.vec_L_D[i],
+                 self.vec_R_C[i], self.vec_R_D[i]])
+            challenges.append(transcript.get_and_append_challenge(b"ipa_gamma"))
+        challenges_inv = batch_inversion(challenges, R)
+        vec_gamma, vec_gamma_inv = challenges, challenges_inv
 
-        vec_rhs_scalars = [self.c_final * s % R for s in vec_s]
-        vec_rhs_scalars.append(self.c_final * self.d_final % R * beta % R)
         vec_G_H = list(crs_G_vec) + [crs_H]
 
         # Step 3: first accumulated check (C-side). The whole relation
@@ -195,18 +205,20 @@ class InnerProductProof:
         # enters the accumulator in zero form — no eager group math at all
         # (the reference computes the lhs eagerly, inner_product_argument.rs
         # :294-309; here even C's alpha-mul and H's beta-mul are deferred).
+        # rhs_i = c_final * s_i, negated — one fused native chain.
         a2zb = alpha * alpha % R * z % R * beta % R
         lhs_x = vec_gamma + [1, alpha, a2zb] + vec_gamma_inv
         lhs_V = self.vec_L_C + [self.B_c, C, crs_H] + self.vec_R_C
-        neg_rhs = [-s % R for s in vec_rhs_scalars]
+        neg_rhs = scaled_verification_products(
+            challenges, n, cmul=self.c_final, neg=True)
+        neg_rhs.append(-(self.c_final * self.d_final % R * beta) % R)
         msm_accumulator.accumulate_zero(lhs_x + neg_rhs, lhs_V + vec_G_H, rng)
 
-        # second accumulated check (D-side)
-        vec_d_div_s = [self.d_final * (si * ui % R) % R
-                       for si, ui in zip(vec_inv_s, vec_u)]
+        # second accumulated check (D-side): rhs_i = d_final * inv_s_i * u_i
         lhs_x = vec_gamma + [1, alpha] + vec_gamma_inv
         lhs_V = self.vec_L_D + [self.B_d, D] + self.vec_R_D
-        neg_rhs = [-s % R for s in vec_d_div_s]
+        neg_rhs = scaled_verification_products(
+            challenges_inv, n, cmul=self.d_final, mulvec=vec_u, neg=True)
         msm_accumulator.accumulate_zero(lhs_x + neg_rhs, lhs_V + list(crs_G_vec),
                                         rng)
 

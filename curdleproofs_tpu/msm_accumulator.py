@@ -18,20 +18,19 @@ __all__ = ["MsmAccumulator"]
 
 class MsmAccumulator:
     def __init__(self):
-        # raw (scalar, point) terms; dedup happens ONCE at verify time with a
-        # single batch normalisation (arkworks dedups eagerly per check on a
-        # G1Affine hash map, msm_accumulator.rs:37-52 — same semantics)
-        self._xs: list[int] = []
-        self._Vs: list[G1] = []
+        # raw relations (random_factor, vec_x, vec_V); the random scaling AND
+        # the dedup both happen ONCE at verify time (arkworks dedups eagerly
+        # per check on a G1Affine hash map, msm_accumulator.rs:37-52 — same
+        # semantics, but accumulation stays allocation-only on the
+        # batch-verification replay hot path)
+        self._rels: list[tuple[int, list[int], list[G1]]] = []
 
     def accumulate_zero(self, vec_x: list[int], vec_V: list[G1],
                         rng: StdRng) -> None:
         """Accumulate the relation `<vec_x, vec_V> == 0` under a fresh random
-        factor. No group math happens here — the whole batch of relations is
-        verified by the single MSM `sum_i rf_i * <x_i, V_i> == 0`."""
-        random_factor = rng.rand_fr()
-        self._xs += [random_factor * x % R for x in vec_x]
-        self._Vs += vec_V
+        factor. No group OR scalar math happens here — the whole batch of
+        relations is verified by the single MSM `sum_i rf_i * <x_i, V_i> == 0`."""
+        self._rels.append((rng.rand_fr(), vec_x, vec_V))
 
     def accumulate_check(self, C: G1, vec_x: list[int], vec_V: list[G1],
                          rng: StdRng) -> None:
@@ -52,17 +51,27 @@ class MsmAccumulator:
         bucket add each; arkworks' value-keyed map (msm_accumulator.rs:37-52)
         merges those too, but no protocol path produces them.
         """
+        from .host import native
+
+        nat = native if native.available() else None
         scal: dict[int, int] = {}
         pt: dict[int, G1] = {}
-        for base, x in zip(self._Vs, self._xs):
-            key = id(base)
-            cur = scal.get(key)
-            if cur is None:
-                scal[key] = x
-                pt[key] = base
+        for rf, xs, Vs in self._rels:
+            # the random scaling runs as one native Montgomery-mul sweep;
+            # the merge then only adds (mod deferred to extraction)
+            if nat is not None and len(xs) >= 32:
+                xs = nat.fr_scale(rf, xs)
             else:
-                scal[key] = (cur + x) % R
-        return list(pt.values()), [scal[k] for k in pt]
+                xs = [rf * x % R for x in xs]
+            for base, x in zip(Vs, xs):
+                key = id(base)
+                cur = scal.get(key)
+                if cur is None:
+                    scal[key] = x
+                    pt[key] = base
+                else:
+                    scal[key] = cur + x
+        return list(pt.values()), [scal[k] % R for k in pt]
 
     def verify(self) -> None:
         """Run the single deduped MSM; raise VerificationError on mismatch."""

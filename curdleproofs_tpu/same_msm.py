@@ -18,7 +18,10 @@ from .host.serde import (
 )
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
-from .util import generate_blinders, msm, verification_scalar_products
+from .util import (
+    generate_blinders, msm, scaled_verification_products,
+    verification_scalar_products,
+)
 
 __all__ = ["SameMultiscalarProof"]
 
@@ -146,14 +149,25 @@ class SameMultiscalarProof:
         transcript.append_points(b"same_msm_step1", [self.B_a, self.B_t, self.B_u])
         alpha = transcript.get_and_append_challenge(b"same_msm_alpha")
 
-        vec_gamma, vec_gamma_inv, vec_s = self.verification_scalars(n, transcript)
-        vec_x_times_s = [self.x_final * s % R for s in vec_s]
+        lg_n = len(self.vec_L_A)
+        if lg_n >= 32 or n != (1 << lg_n):
+            raise VerificationError("bad SameMsm proof shape")
+        vec_gamma = []
+        for i in range(lg_n):
+            transcript.append_points(b"same_msm_loop", [
+                self.vec_L_A[i], self.vec_L_T[i], self.vec_L_U[i],
+                self.vec_R_A[i], self.vec_R_T[i], self.vec_R_U[i]])
+            vec_gamma.append(
+                transcript.get_and_append_challenge(b"same_msm_gamma"))
+        vec_gamma_inv = batch_inversion(vec_gamma, R)
 
         # all three relations enter the accumulator in zero form — the
         # reference computes each lhs eagerly (same_multiscalar_argument.rs
         # :249-259); here the gamma-folded L/R terms and the alpha-muls all
-        # ride the single deduped MSM
-        neg_rhs = [-s % R for s in vec_x_times_s]
+        # ride the single deduped MSM. rhs_i = x_final * s_i, negated —
+        # one fused native chain (shared by the three relations).
+        neg_rhs = scaled_verification_products(
+            vec_gamma, n, cmul=self.x_final, neg=True)
         for L, R_, B_pt, C_pt, bases in (
                 (self.vec_L_A, self.vec_R_A, self.B_a, A, crs_G_vec),
                 (self.vec_L_T, self.vec_R_T, self.B_t, Z_t, vec_T),

@@ -19,6 +19,29 @@ from .host.strobe import MerlinTranscript
 
 __all__ = ["Transcript"]
 
+# Joined Vec<G1Affine> payloads, memoized per list OBJECT (same contract as
+# ops/msm_device._BASES_CACHE: protocol code never mutates point lists after
+# handing them out). Batch verification replays append the same instance
+# vectors (R, S per batch; T, U twice per proof), so the ~250-point joins
+# dominate transcript cost without this.
+_PAYLOAD_MEMO: dict[int, tuple[list, bytes]] = {}
+
+
+def _points_payload(points: list[G1]) -> bytes:
+    if len(points) < 16:
+        return (vec_len_prefix(len(points))
+                + b"".join(g1_to_bytes(p) for p in points))
+    key = id(points)
+    hit = _PAYLOAD_MEMO.get(key)
+    if hit is not None and hit[0] is points:
+        return hit[1]
+    payload = (vec_len_prefix(len(points))
+               + b"".join(g1_to_bytes(p) for p in points))
+    if len(_PAYLOAD_MEMO) > 64:
+        _PAYLOAD_MEMO.clear()
+    _PAYLOAD_MEMO[key] = (points, payload)
+    return payload
+
 
 class Transcript:
     def __init__(self, label: bytes):
@@ -47,8 +70,7 @@ class Transcript:
 
     def append_point_vec(self, label: bytes, points: list[G1]) -> None:
         """Append a Rust `Vec<G1Affine>` as ONE message with a u64 length prefix."""
-        payload = vec_len_prefix(len(points)) + b"".join(g1_to_bytes(p) for p in points)
-        self._t.append_message(label, payload)
+        self._t.append_message(label, _points_payload(points))
 
     def append_fr(self, label: bytes, v: int) -> None:
         self._t.append_message(label, fr_to_bytes(v))

@@ -14,8 +14,15 @@ from .host.rng import StdRng
 __all__ = [
     "msm", "inner_product", "get_permutation", "generate_blinders",
     "get_verification_scalars_bitstring", "verification_scalar_products",
+    "scaled_verification_products", "fr_power_vector",
     "shuffle_permute_and_commit_input", "sum_affine_points",
 ]
+
+
+def _native():
+    from .host import native
+
+    return native if native.available() else None
 
 
 def msm(points: list[G1], scalars: list[int]) -> G1:
@@ -71,6 +78,43 @@ def verification_scalar_products(challenges: list[int], n: int) -> list[int]:
         b = (i & -i).bit_length() - 1
         s[i] = s[i & (i - 1)] * challenges[logn - 1 - b] % R
     return s
+
+
+def scaled_verification_products(challenges: list[int], n: int,
+                                 cmul: int | None = None,
+                                 mulvec: list[int] | None = None,
+                                 neg: bool = False) -> list[int]:
+    """`verification_scalar_products` with the scaling its callers apply
+    fused in: out_i = [-] cmul * s_i [* mulvec_i].
+
+    The IPA/SameMsm verifier replays compute `c_final * s_i` (negated, as the
+    accumulator's rhs) and `d_final * inv_s_i * u_i`; running the whole chain
+    in the native Fr Montgomery engine (host/native `cp_fr_vsp`) turns ~3n
+    python bigint mulmods per call into one ctypes round trip."""
+    nat = _native()
+    if nat is not None:
+        return nat.fr_vsp(challenges, n, cmul=cmul, mulvec=mulvec, neg=neg)
+    s = verification_scalar_products(challenges, n)
+    if cmul is not None:
+        s = [cmul * v % R for v in s]
+    if mulvec is not None:
+        s = [a * b % R for a, b in zip(s, mulvec)]
+    if neg:
+        s = [-v % R for v in s]
+    return s
+
+
+def fr_power_vector(base: int, n: int) -> list[int]:
+    """[base^1, ..., base^n] (native chain when available)."""
+    nat = _native()
+    if nat is not None:
+        return nat.fr_powers(base, n)
+    out = []
+    acc = 1
+    for _ in range(n):
+        acc = acc * base % R
+        out.append(acc)
+    return out
 
 
 def shuffle_permute_and_commit_input(
