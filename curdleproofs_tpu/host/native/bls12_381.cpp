@@ -2009,10 +2009,16 @@ namespace {
 int pick_window_glv(size_t npts, bool vector_chain = false) {
     // npts = 2n after the GLV split. With the IFMA vectorized chain the
     // per-bucket cost drops from ~27 scalar muls to ~4 mul-equivalents.
+    if (const char *env = std::getenv("CP_MSM_C")) {
+        int c = atoi(env);
+        if (c >= 4 && c <= 16) return c;
+    }
     double chain_cost = vector_chain ? 4.0 : 27.0;
     double best = 1e30;
     int bestc = 6;
-    for (int c = 4; c <= 12; ++c) {
+    // cap 13: the top GLV window keeps >= 12 bits (129 - 9*13), and the
+    // per-window bucket region stays cache-resident for the scatter phase
+    for (int c = 4; c <= 13; ++c) {
         double w = (129.0 + c - 1.0) / c;
         double cost = w * ((double)npts * 6.0 +
                            (double)(1 << (c - 1)) * chain_cost);
@@ -2250,232 +2256,389 @@ void invert_lanes52(const ifma::Fq8 *chains, size_t nchains, ifma::Fq8 *out) {
     }
 }
 
-// IFMA bucket accumulation: entries per slot are contiguous in `sorted`
-// (counting-sorted), points live in packed mont52 SoA arrays. Each slot's
-// entries are tree-reduced; every tree level is one batch of independent
-// affine additions across ALL slots, so the batch-inversion denominator
-// stream is level-wide. Levels with <32 pairs stop the tree; leftover heads
-// beyond the first per slot are returned as mont64 `extras`.
-// Output: packed-52 affine bucket heads (bkx/bky/binf) + extras.
-void ifma_bucket_phase(const u64 *px52, const u64 *py52,
-                       const std::vector<uint8_t> &pinf,
-                       const std::vector<uint32_t> &sorted,
-                       const std::vector<uint32_t> &counts, size_t nslots,
-                       std::vector<u64> &bkx, std::vector<u64> &bky,
-                       std::vector<uint8_t> &binf,
-                       std::vector<std::pair<uint32_t, G1>> &extras) {
-    const size_t m = sorted.size();
-    // ---- materialize work arrays (sign applied via neg8/select) ----
-    std::vector<u64> wx(m * 8), wy(m * 8);
-    std::vector<uint8_t> winf(m);
-    for (size_t base = 0; base < m; base += 8) {
-        size_t g = m - base < 8 ? m - base : 8;
-        const u64 *sx[8], *sy[8];
-        u64 *dy[8];
-        unsigned lanes = 0;
-        __mmask8 negm = 0;
-        for (size_t k = 0; k < 8; ++k) {
-            size_t e = base + (k < g ? k : 0);
-            uint32_t ent = sorted[e];
-            uint32_t pi = ent & 0x7fffffffu;
-            sx[k] = px52 + (size_t)pi * 8;
-            sy[k] = py52 + (size_t)pi * 8;
-            dy[k] = wy.data() + (base + (k < g ? k : 0)) * 8;
-            if (k < g) {
-                lanes |= 1u << k;
-                winf[e] = pinf[pi];
-                std::memcpy(wx.data() + e * 8, sx[k], 64);
-                if (ent >> 31) negm = (__mmask8)(negm | (1u << k));
-            }
-        }
-        ifma::Fq8 Y, YN;
-        ifma::load8(sy, Y);
-        if (negm) {
-            ifma::neg8(Y, YN);
-            ifma::select8(negm, YN, Y, Y);
-        }
-        ifma::store8(Y, dy, lanes);
+// scalar mont52 negate: dst = p - src (src canonical and nonzero; curve
+// points always have y != 0 since |E(Fq)| is odd)
+inline void neg52_scalar(const u64 *src, u64 *dst) {
+    const u64 m52 = (1ULL << 52) - 1;
+    u64 borrow = 0;
+    for (int j = 0; j < 8; ++j) {
+        u64 x = P52[j] - src[j] - borrow;
+        borrow = x >> 63;
+        dst[j] = x & m52;
     }
+}
 
-    // ---- slot segments; active = slots with >= 2 remaining heads ----
-    std::vector<uint32_t> active;
-    for (size_t s = 0; s < nslots; ++s)
-        if (counts[s + 1] - counts[s] >= 2) active.push_back((uint32_t)s);
+// one recoded MSM entry: bucket slot + point index (bit 31 = subtract,
+// i.e. negate the point's y when it enters the bucket)
+struct SEnt {
+    uint32_t slot;
+    uint32_t pi;
+};
 
-    struct Pair { uint32_t i, j; uint8_t dbl; };
-    std::vector<Pair> vec_pairs;
-    std::vector<ifma::Fq8> PREF;
-    ifma::Fq8 run[4], tinv[4];
-    std::vector<uint32_t> nxt;
-    size_t stride = 1;
-    bool done_tree = false;
-    while (!active.empty() && !done_tree) {
-        // classify this level's pairs; handle trivial kinds inline
-        vec_pairs.clear();
-        nxt.clear();
-        for (uint32_t s : active) {
-            uint32_t start = counts[s], end = counts[s + 1];
-            for (uint32_t k = start; k + stride < end; k += 2 * stride) {
-                uint32_t i = k, j = k + (uint32_t)stride;
-                if (winf[j]) continue;
-                if (winf[i]) {
-                    std::memcpy(wx.data() + i * 8, wx.data() + j * 8, 64);
-                    std::memcpy(wy.data() + i * 8, wy.data() + j * 8, 64);
-                    winf[i] = 0;
-                    winf[j] = 1;  // consumed (matters if the tree breaks here)
-                    continue;
+// Generic 8-wide batched affine addition: for each op e in [0, nops),
+// opfn(e, ax, ay, bx, by, negb, dx, dy) supplies packed-52 source pointers
+// for A and B (both finite points), whether B's y is negated on the fly,
+// and destination pointers; the core computes D = A + B for every op,
+// sharing one modular inversion per internal 4096-op chunk (two-sweep
+// prefix-product, NCH interleaved chains). A == B lanes take the doubling
+// formula; A == -B lanes skip the store and call canfn(e) so the caller
+// can mark the result infinity. Ops must be independent: no op's
+// destination may alias another op's source. opfn is called multiple
+// times per op (prefetch + forward + backward) and must be pure.
+template <class OpFn, class CanFn>
+void batched_affine_rounds(size_t nops_total, OpFn opfn, CanFn canfn) {
+    using namespace ifma;
+    if (!nops_total) return;
+    // internal chunking: one shared inversion per CHUNK ops, and a chunk's
+    // gathered operands are cached in transposed (Fq8) form so the backward
+    // sweep reads sequentially instead of re-gathering random lanes
+    constexpr size_t CHUNK = 4096;
+    constexpr size_t NCH = 4;
+    constexpr size_t MAXG = CHUNK / 8;
+    static std::vector<Fq8> wsAX, wsAY, wsBX, wsBY, pref;
+    wsAX.resize(MAXG);
+    wsAY.resize(MAXG);
+    wsBX.resize(MAXG);
+    wsBY.resize(MAXG);
+    pref.resize(MAXG);
+    uint8_t gdbl[MAXG], gcan[MAXG];
+    Fq8 one52;
+    broadcast8(ONE_MONT52, one52);
+
+    for (size_t cbase = 0; cbase < nops_total; cbase += CHUNK) {
+        size_t nops = nops_total - cbase < CHUNK ? nops_total - cbase : CHUNK;
+        size_t ngroups = (nops + 7) / 8;
+        size_t nch = ngroups < NCH ? ngroups : NCH;
+        Fq8 run[NCH], tinv[NCH];
+        for (size_t ci = 0; ci < nch; ++ci) run[ci] = one52;
+
+        // forward: gather + classify lanes, cache operands, build the
+        // interleaved denominator chains
+        for (size_t gidx = 0; gidx < ngroups; ++gidx) {
+            // prefetch the A-side (typically random) lanes two groups out
+            if (gidx + 2 < ngroups) {
+                size_t pb = cbase + (gidx + 2) * 8;
+                for (int k = 0; k < 8; ++k) {
+                    size_t e = pb + k < cbase + nops ? pb + k : pb;
+                    const u64 *ax, *ay, *bx, *by;
+                    u64 *dx, *dy;
+                    bool negb = false;
+                    opfn(e, ax, ay, bx, by, negb, dx, dy);
+                    _mm_prefetch((const char *)ax, _MM_HINT_T0);
+                    _mm_prefetch((const char *)ay, _MM_HINT_T0);
                 }
-                if (!std::memcmp(wx.data() + i * 8, wx.data() + j * 8, 64)) {
-                    if (std::memcmp(wy.data() + i * 8, wy.data() + j * 8, 64)) {
-                        winf[i] = 1;  // P + (-P)
-                        winf[j] = 1;
-                    } else {
-                        vec_pairs.push_back({i, j, 1});
-                    }
-                    continue;
-                }
-                vec_pairs.push_back({i, j, 0});
             }
-            if (counts[s + 1] - counts[s] > 2 * stride) nxt.push_back(s);
-        }
-        if (vec_pairs.size() < 32) {
-            // sparse level: leave heads for the scalar finish below
-            done_tree = true;
-            break;
-        }
-        size_t ngroups = (vec_pairs.size() + 7) / 8;
-        PREF.resize(ngroups);
-        // Two sweeps, storing only the PREF stream (cache-friendly):
-        // forward computes denominators in flight and builds 32 interleaved
-        // product chains; backward re-gathers operands, reconstructs the
-        // denominator, finishes the inversion and applies the formulas.
-        size_t nch = ngroups < 4 ? ngroups : 4;
-        auto gather_group = [&](size_t gidx, ifma::Fq8 &AX, ifma::Fq8 &AY,
-                                ifma::Fq8 &BX, ifma::Fq8 &BY,
-                                __mmask8 &dblm, __mmask8 &padm) {
             const u64 *sax[8], *say[8], *sbx[8], *sby[8];
-            dblm = 0;
+            __mmask8 negm = 0;
             size_t base = gidx * 8;
             for (int k = 0; k < 8; ++k) {
-                size_t e = base + k < vec_pairs.size() ? base + k : base;
-                const Pair &pr = vec_pairs[e];
-                sax[k] = wx.data() + (size_t)pr.i * 8;
-                say[k] = wy.data() + (size_t)pr.i * 8;
-                sbx[k] = wx.data() + (size_t)pr.j * 8;
-                sby[k] = wy.data() + (size_t)pr.j * 8;
-                if (base + k < vec_pairs.size() && pr.dbl)
-                    dblm = (__mmask8)(dblm | (1u << k));
+                size_t e = cbase + (base + k < nops ? base + k : base);
+                const u64 *ax, *ay, *bx, *by;
+                u64 *dx, *dy;
+                bool negb = false;
+                opfn(e, ax, ay, bx, by, negb, dx, dy);
+                sax[k] = ax;
+                say[k] = ay;
+                sbx[k] = bx;
+                sby[k] = by;
+                if (base + k < nops && negb)
+                    negm = (__mmask8)(negm | (1u << k));
             }
-            padm = vec_pairs.size() - base < 8
-                       ? (__mmask8)(0xffu << (vec_pairs.size() - base))
-                       : (__mmask8)0;
-            ifma::load8(sax, AX); ifma::load8(say, AY);
-            ifma::load8(sbx, BX); ifma::load8(sby, BY);
-        };
-        auto make_den = [&](const ifma::Fq8 &AX, const ifma::Fq8 &AY,
-                            const ifma::Fq8 &BX, __mmask8 dblm, __mmask8 padm,
-                            ifma::Fq8 &den) {
-            ifma::sub8(BX, AX, den);
+            __mmask8 padm = nops - base < 8
+                                ? (__mmask8)(0xffu << (nops - base))
+                                : (__mmask8)0;
+            Fq8 AX, AY, BX, BY, den;
+            load8(sax, AX);
+            load8(say, AY);
+            load8(sbx, BX);
+            load8(sby, BY);
+            if (negm) {
+                Fq8 yn;
+                neg8(BY, yn);
+                select8(negm, yn, BY, BY);
+            }
+            wsAX[gidx] = AX;
+            wsAY[gidx] = AY;
+            wsBX[gidx] = BX;
+            wsBY[gidx] = BY;
+            __mmask8 live = (__mmask8)~padm;
+            __mmask8 eqx = (__mmask8)(eq8(AX, BX) & live);
+            __mmask8 eqy = eq8(AY, BY);
+            __mmask8 dblm = (__mmask8)(eqx & eqy);
+            __mmask8 canm = (__mmask8)(eqx & ~eqy);  // A + (-A)
+            gdbl[gidx] = dblm;
+            gcan[gidx] = canm;
+            sub8(BX, AX, den);
             if (dblm) {
-                ifma::Fq8 d2;
-                ifma::dbl8(AY, d2);
-                ifma::select8(dblm, d2, den, den);
+                Fq8 d2;
+                dbl8(AY, d2);
+                select8(dblm, d2, den, den);
             }
-            if (padm) {
-                ifma::Fq8 one;
-                ifma::broadcast8(ONE_MONT52, one);
-                ifma::select8(padm, one, den, den);
-            }
-        };
-        for (size_t ci = 0; ci < nch; ++ci) ifma::broadcast8(ONE_MONT52, run[ci]);
-        for (size_t gidx = 0; gidx < ngroups; ++gidx) {
-            ifma::Fq8 AX, AY, BX, BY, den;
-            __mmask8 dblm, padm;
-            gather_group(gidx, AX, AY, BX, BY, dblm, padm);
-            make_den(AX, AY, BX, dblm, padm, den);
+            __mmask8 skipm = (__mmask8)(canm | padm);
+            if (skipm) select8(skipm, one52, den, den);
             size_t ci = (gidx & 3) % nch;
-            PREF[gidx] = run[ci];
-            ifma::montmul8(run[ci], den, run[ci]);
+            pref[gidx] = run[ci];
+            montmul8(run[ci], den, run[ci]);
         }
         invert_lanes52(run, nch, tinv);
+        // backward: reconstruct each op's inverse from the cached operands,
+        // apply the formulas, store through the op's destination pointers
         for (size_t gidx = ngroups; gidx-- > 0;) {
-            ifma::Fq8 AX, AY, BX, BY, den, num, inv;
-            __mmask8 dblm, padm;
-            gather_group(gidx, AX, AY, BX, BY, dblm, padm);
-            make_den(AX, AY, BX, dblm, padm, den);
-            size_t ci = (gidx & 3) % nch;
-            ifma::montmul8(tinv[ci], PREF[gidx], inv);
-            ifma::montmul8(tinv[ci], den, tinv[ci]);
-            ifma::sub8(BY, AY, num);
-            if (dblm) {
-                ifma::Fq8 t, t3;
-                ifma::sqr8(AX, t);
-                ifma::dbl8(t, t3);
-                ifma::add8(t3, t, t3);  // 3x^2
-                ifma::select8(dblm, t3, num, num);
-            }
-            ifma::Fq8 lam, x3, y3, t;
-            ifma::montmul8(num, inv, lam);
-            ifma::sqr8(lam, x3);
-            ifma::sub8(x3, AX, x3);
-            ifma::sub8(x3, BX, x3);
-            ifma::sub8(AX, x3, t);
-            ifma::montmul8(lam, t, y3);
-            ifma::sub8(y3, AY, y3);
-            u64 *dx[8], *dy[8];
-            unsigned lanes = 0;
+            const Fq8 &AX = wsAX[gidx], &AY = wsAY[gidx];
+            const Fq8 &BX = wsBX[gidx], &BY = wsBY[gidx];
+            __mmask8 dblm = (__mmask8)gdbl[gidx], canm = (__mmask8)gcan[gidx];
             size_t base = gidx * 8;
+            __mmask8 padm = nops - base < 8
+                                ? (__mmask8)(0xffu << (nops - base))
+                                : (__mmask8)0;
+            u64 *dx8[8], *dy8[8];
+            unsigned lanes = 0;
             for (int k = 0; k < 8; ++k) {
-                size_t e = base + k < vec_pairs.size() ? base + k : base;
-                dx[k] = wx.data() + (size_t)vec_pairs[e].i * 8;
-                dy[k] = wy.data() + (size_t)vec_pairs[e].i * 8;
-                if (base + k < vec_pairs.size()) lanes |= 1u << k;
+                size_t e = cbase + (base + k < nops ? base + k : base);
+                const u64 *ax, *ay, *bx, *by;
+                u64 *dx, *dy;
+                bool negb = false;
+                opfn(e, ax, ay, bx, by, negb, dx, dy);
+                dx8[k] = dx;
+                dy8[k] = dy;
+                if (base + k < nops && !((canm >> k) & 1)) lanes |= 1u << k;
+                _mm_prefetch((const char *)dx, _MM_HINT_T0);
+                _mm_prefetch((const char *)dy, _MM_HINT_T0);
             }
-            ifma::store8(x3, dx, lanes);
-            ifma::store8(y3, dy, lanes);
+            Fq8 den, num, inv;
+            sub8(BX, AX, den);
+            if (dblm) {
+                Fq8 d2;
+                dbl8(AY, d2);
+                select8(dblm, d2, den, den);
+            }
+            __mmask8 skipm = (__mmask8)(canm | padm);
+            if (skipm) select8(skipm, one52, den, den);
+            size_t ci = (gidx & 3) % nch;
+            montmul8(tinv[ci], pref[gidx], inv);
+            montmul8(tinv[ci], den, tinv[ci]);
+            sub8(BY, AY, num);
+            if (dblm) {
+                Fq8 t, t3;
+                sqr8(AX, t);
+                dbl8(t, t3);
+                add8(t3, t, t3);  // 3x^2
+                select8(dblm, t3, num, num);
+            }
+            Fq8 lam, x3, y3, t;
+            montmul8(num, inv, lam);
+            sqr8(lam, x3);
+            sub8(x3, AX, x3);
+            sub8(x3, BX, x3);
+            sub8(AX, x3, t);
+            montmul8(lam, t, y3);
+            sub8(y3, AY, y3);
+            store8(x3, dx8, lanes);
+            store8(y3, dy8, lanes);
+            if (canm)
+                for (int k = 0; k < 8; ++k)
+                    if ((canm >> k) & 1) canfn(cbase + base + k);
         }
-        active.swap(nxt);
-        stride *= 2;
     }
+}
 
-    // ---- collect heads: first per slot -> packed bucket arrays; the rest
-    //      (only present if the tree stopped early) -> mont64 extras ----
+// IFMA bucket accumulation, scatter form: stream the recoded entries in
+// point order and add each one directly into its bucket with 8-wide affine
+// additions (batched_affine_rounds), sharing one modular inversion per
+// batch of B pending adds. Compared to a per-slot tree reduction this
+// never materializes per-entry work arrays: point reads are sequential in
+// the entry stream (each point's windows are adjacent), and the only
+// random traffic is the packed-52 bucket array (a few MB at production
+// window sizes — cache resident). Conflict rule: a slot can host at most
+// one pending add per batch (epoch stamps); colliding entries go to an
+// overflow list. The overflow is NOT re-streamed (the top window's digits
+// are few — its slots collide thousands of times, making one-at-a-time
+// retries quadratic); instead it is counting-sorted by slot and pair-
+// reduced level by level — each level one batched_affine_rounds call —
+// which absorbs any multiplicity in log2(max-per-slot) levels. The final
+// per-slot survivors merge into the buckets with one more batched pass.
+// Output: packed-52 affine bucket heads (bkx/bky/binf).
+void ifma_bucket_scatter(const u64 *px52, const u64 *py52,
+                         const std::vector<SEnt> &entries, size_t nslots,
+                         std::vector<u64> &bkx, std::vector<u64> &bky,
+                         std::vector<uint8_t> &binf) {
+    using namespace ifma;
+    bool prof = std::getenv("CP_PROF") != nullptr;
+    auto ts0 = std::chrono::steady_clock::now();
     bkx.assign(nslots * 8, 0);
     bky.assign(nslots * 8, 0);
     binf.assign(nslots, 1);
-    std::vector<uint32_t> ex_idx, ex_slot;
-    for (size_t s = 0; s < nslots; ++s) {
-        for (uint32_t k = counts[s]; k < counts[s + 1]; k += (uint32_t)stride) {
-            if (winf[k]) continue;
-            if (binf[s]) {
-                std::memcpy(bkx.data() + s * 8, wx.data() + (size_t)k * 8, 64);
-                std::memcpy(bky.data() + s * 8, wy.data() + (size_t)k * 8, 64);
-                binf[s] = 0;
-            } else {
-                ex_idx.push_back(k);
-                ex_slot.push_back((uint32_t)s);
+    constexpr size_t B = 4096;  // pending adds per shared inversion
+    static_assert(B % 8 == 0, "batch must fill whole lane groups");
+    std::vector<uint32_t> bslot(B), bpi(B);
+    std::vector<uint32_t> epoch(nslots, 0);
+    std::vector<SEnt> overflow;
+    uint32_t bid = 1;
+    size_t npend = 0;
+
+    auto flush = [&]() {
+        size_t nops = npend;
+        npend = 0;
+        ++bid;
+        batched_affine_rounds(
+            nops,
+            [&](size_t e, const u64 *&ax, const u64 *&ay, const u64 *&bx,
+                const u64 *&by, bool &negb, u64 *&dx, u64 *&dy) {
+                uint32_t s = bslot[e], ent = bpi[e];
+                uint32_t pi = ent & 0x7fffffffu;
+                ax = bkx.data() + (size_t)s * 8;
+                ay = bky.data() + (size_t)s * 8;
+                bx = px52 + (size_t)pi * 8;
+                by = py52 + (size_t)pi * 8;
+                negb = (ent >> 31) != 0;
+                dx = bkx.data() + (size_t)s * 8;
+                dy = bky.data() + (size_t)s * 8;
+            },
+            [&](size_t e) { binf[bslot[e]] = 1; });
+    };
+
+    auto push = [&](SEnt e) {
+        uint32_t s = e.slot;
+        if (binf[s]) {
+            uint32_t pi = e.pi & 0x7fffffffu;
+            std::memcpy(bkx.data() + (size_t)s * 8, px52 + (size_t)pi * 8, 64);
+            if (e.pi >> 31)
+                neg52_scalar(py52 + (size_t)pi * 8,
+                             bky.data() + (size_t)s * 8);
+            else
+                std::memcpy(bky.data() + (size_t)s * 8, py52 + (size_t)pi * 8,
+                            64);
+            binf[s] = 0;
+            return;
+        }
+        if (epoch[s] == bid) {
+            overflow.push_back(e);
+            return;
+        }
+        epoch[s] = bid;
+        bslot[npend] = s;
+        bpi[npend] = e.pi;
+        if (++npend == B) flush();
+    };
+
+    for (const SEnt &e : entries) push(e);
+    flush();
+    auto ts1 = std::chrono::steady_clock::now();
+
+    // ---- overflow: counting-sort by slot, materialize signed copies,
+    //      pair-reduce each slot's segment, merge survivors into buckets --
+    size_t no = overflow.size();
+    if (no) {
+        std::vector<uint32_t> counts(nslots + 1, 0);
+        for (const SEnt &e : overflow) counts[e.slot + 1]++;
+        for (size_t s = 1; s <= nslots; ++s) counts[s] += counts[s - 1];
+        std::vector<u64> wx(no * 8), wy(no * 8);
+        std::vector<uint8_t> winf(no, 0);
+        {
+            std::vector<uint32_t> cur(counts.begin(), counts.end() - 1);
+            for (const SEnt &e : overflow) {
+                uint32_t k = cur[e.slot]++;
+                uint32_t pi = e.pi & 0x7fffffffu;
+                std::memcpy(wx.data() + (size_t)k * 8, px52 + (size_t)pi * 8,
+                            64);
+                if (e.pi >> 31)
+                    neg52_scalar(py52 + (size_t)pi * 8,
+                                 wy.data() + (size_t)k * 8);
+                else
+                    std::memcpy(wy.data() + (size_t)k * 8,
+                                py52 + (size_t)pi * 8, 64);
             }
         }
-    }
-    size_t nh = ex_idx.size();
-    extras.clear();
-    if (nh) {
-        std::vector<u64> hx(nh * 8), hy(nh * 8);
-        for (size_t h = 0; h < nh; ++h) {
-            std::memcpy(hx.data() + h * 8, wx.data() + (size_t)ex_idx[h] * 8, 64);
-            std::memcpy(hy.data() + h * 8, wy.data() + (size_t)ex_idx[h] * 8, 64);
+        // slots with overflow (sparse relative to nslots)
+        std::vector<uint32_t> active;
+        for (size_t s = 0; s < nslots; ++s)
+            if (counts[s + 1] > counts[s]) active.push_back((uint32_t)s);
+
+        struct Pair {
+            uint32_t i, j;
+        };
+        std::vector<Pair> pairs;
+        std::vector<uint32_t> nxt;
+        size_t stride = 1;
+        while (!active.empty()) {
+            pairs.clear();
+            nxt.clear();
+            for (uint32_t s : active) {
+                uint32_t start = counts[s], end = counts[s + 1];
+                for (uint32_t k = start; k + stride < end; k += 2 * stride) {
+                    uint32_t i = k, j = k + (uint32_t)stride;
+                    if (winf[j]) continue;
+                    if (winf[i]) {
+                        std::memcpy(wx.data() + (size_t)i * 8,
+                                    wx.data() + (size_t)j * 8, 64);
+                        std::memcpy(wy.data() + (size_t)i * 8,
+                                    wy.data() + (size_t)j * 8, 64);
+                        winf[i] = 0;
+                        winf[j] = 1;
+                        continue;
+                    }
+                    pairs.push_back({i, j});
+                }
+                if (counts[s + 1] - counts[s] > 2 * stride)
+                    nxt.push_back(s);
+            }
+            batched_affine_rounds(
+                pairs.size(),
+                [&](size_t e, const u64 *&ax, const u64 *&ay, const u64 *&bx,
+                    const u64 *&by, bool &negb, u64 *&dx, u64 *&dy) {
+                    const Pair &pr = pairs[e];
+                    ax = wx.data() + (size_t)pr.i * 8;
+                    ay = wy.data() + (size_t)pr.i * 8;
+                    bx = wx.data() + (size_t)pr.j * 8;
+                    by = wy.data() + (size_t)pr.j * 8;
+                    negb = false;
+                    dx = wx.data() + (size_t)pr.i * 8;
+                    dy = wy.data() + (size_t)pr.i * 8;
+                },
+                [&](size_t e) { winf[pairs[e].i] = 1; });
+            active.swap(nxt);
+            stride *= 2;
         }
-        std::vector<Fq> hxf(nh), hyf(nh);
-        convert_from52_batch(hx.data(), nh, hxf.data());
-        convert_from52_batch(hy.data(), nh, hyf.data());
-        for (size_t h = 0; h < nh; ++h) {
-            G1 q;
-            q.x = hxf[h];
-            q.y = hyf[h];
-            std::memcpy(q.z.l, ONE_MONT, 48);
-            extras.emplace_back(ex_slot[h], q);
+        // survivors (one head per nonempty slot, at the segment start)
+        std::vector<uint32_t> hs_slot, hs_idx;
+        for (size_t s = 0; s < nslots; ++s) {
+            if (counts[s + 1] == counts[s]) continue;
+            uint32_t k = counts[s];
+            if (winf[k]) continue;
+            if (binf[s]) {
+                std::memcpy(bkx.data() + s * 8, wx.data() + (size_t)k * 8,
+                            64);
+                std::memcpy(bky.data() + s * 8, wy.data() + (size_t)k * 8,
+                            64);
+                binf[s] = 0;
+            } else {
+                hs_slot.push_back((uint32_t)s);
+                hs_idx.push_back(k);
+            }
         }
+        batched_affine_rounds(
+            hs_slot.size(),
+            [&](size_t e, const u64 *&ax, const u64 *&ay, const u64 *&bx,
+                const u64 *&by, bool &negb, u64 *&dx, u64 *&dy) {
+                uint32_t s = hs_slot[e], k = hs_idx[e];
+                ax = bkx.data() + (size_t)s * 8;
+                ay = bky.data() + (size_t)s * 8;
+                bx = wx.data() + (size_t)k * 8;
+                by = wy.data() + (size_t)k * 8;
+                negb = false;
+                dx = bkx.data() + (size_t)s * 8;
+                dy = bky.data() + (size_t)s * 8;
+            },
+            [&](size_t e) { binf[hs_slot[e]] = 1; });
     }
+    if (prof)
+        fprintf(stderr,
+                "[scatter] m=%zu overflow=%zu stream=%.1fms tree=%.1fms\n",
+                entries.size(), no,
+                std::chrono::duration<double, std::milli>(ts1 - ts0).count(),
+                std::chrono::duration<double, std::milli>(
+                    std::chrono::steady_clock::now() - ts1)
+                    .count());
 }
 
 // Bucket chains vectorized ACROSS windows: lane (k*8 + j) of instance k runs
@@ -2557,16 +2720,16 @@ void msm_glv_ifma_multi(const G1 *jac_pts, size_t n,
     size_t nb = (size_t)1 << (c - 1);
     size_t nslots = n_msms * (size_t)windows * nb;
 
-    // signed-digit recode -> counting-sorted entries (same as msm_glv_ba,
-    // but sign baked into the entry's top bit only — negs were consumed
-    // into ay already, so here the entry sign tracks the DIGIT sign)
-    std::vector<uint32_t> counts(nslots + 1, 0);
-    struct Ent { uint32_t slot; uint32_t pi; };
-    std::vector<Ent> raw;
+    // signed-digit recode -> flat entries in point order (same recode as
+    // msm_glv_ba, but sign baked into the entry's top bit only — negs were
+    // consumed into ay already, so here the entry sign tracks the DIGIT
+    // sign). No sort: the scatter phase consumes the stream directly.
+    std::vector<SEnt> raw;
     raw.reserve(npts * (size_t)((128 + c - 1) / c));
     const int half = 1 << (c - 1);
     const unsigned mask = (1u << c) - 1u;
     for (size_t i = 0; i < npts; ++i) {
+        if (pinf[i]) continue;  // the identity contributes nothing
         const uint8_t *s = (i < n) ? k1s + 16 * i : k2s + 16 * (i - n);
         uint32_t mid = msm_id ? msm_id[i < n ? i : i - n] : 0;
         uint32_t wbase = mid * (uint32_t)windows;
@@ -2589,23 +2752,14 @@ void msm_glv_ifma_multi(const G1 *jac_pts, size_t n,
                                 (uint32_t)(d < 0 ? -d : d) - 1u;
                 uint32_t pi = (uint32_t)i | (d < 0 ? 0x80000000u : 0u);
                 raw.push_back({slot, pi});
-                counts[slot + 1]++;
             }
         }
-    }
-    for (size_t s = 1; s <= nslots; ++s) counts[s] += counts[s - 1];
-    std::vector<uint32_t> sorted(raw.size());
-    {
-        std::vector<uint32_t> cur(counts.begin(), counts.end() - 1);
-        for (const Ent &e : raw) sorted[cur[e.slot]++] = e.pi;
     }
     auto tp1 = std::chrono::steady_clock::now();
 
     std::vector<u64> bkx, bky;
     std::vector<uint8_t> binf;
-    std::vector<std::pair<uint32_t, G1>> extras;
-    ifma_bucket_phase(px52.data(), py52.data(), pinf, sorted, counts, nslots,
-                      bkx, bky, binf, extras);
+    ifma_bucket_scatter(px52.data(), py52.data(), raw, nslots, bkx, bky, binf);
     auto tp2 = std::chrono::steady_clock::now();
 
     // running/weighted bucket chains, 8 windows per lane-group, instances
@@ -2656,19 +2810,8 @@ void msm_glv_ifma_multi(const G1 *jac_pts, size_t n,
         wsums[w].y = syf[w];
         wsums[w].z = szf[w];
     }
-    // extras: a head beyond the first in bucket (w, b) contributes (b+1)*E
-    G1 t;
-    for (const auto &ex : extras) {
-        int w = (int)(ex.first / nb);  // global window index (incl. msm group)
-        u64 weight = (u64)(ex.first % nb) + 1;
-        uint8_t sc[32] = {0};
-        std::memcpy(sc, &weight, 8);
-        G1 scaled;
-        g1_mul(ex.second, sc, scaled);
-        g1_add(wsums[w], scaled, t);
-        wsums[w] = t;
-    }
     // per-MSM Horner ladders over each window group
+    G1 t;
     for (size_t mi = 0; mi < n_msms; ++mi) {
         G1 &out = outs[mi];
         g1_set_inf(out);
