@@ -65,6 +65,9 @@ def lib() -> ctypes.CDLL | None:
         "cp_fr_powers": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p],
         "cp_fr_scale_vec": [ctypes.c_char_p, ctypes.c_char_p,
                             ctypes.c_uint64, ctypes.c_char_p],
+        "cp_fr_scale_accum": [ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_char_p, ctypes.c_uint64,
+                              ctypes.c_char_p],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
@@ -254,6 +257,24 @@ def fr_scale(rf: int, xs: list[int]) -> list[int]:
     raw = out.raw
     return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
             for i in range(n)]
+
+
+def fr_scale_accum(jobs, nkeys: int) -> list[int]:
+    """Fused verifier dedup: for every job (rf, xs, keys) do
+    acc[keys[i]] += rf * xs[i] mod r, over a shared accumulator of `nkeys`
+    scalars; returns the merged scalars. One native sweep per relation —
+    replaces the per-entry python dict merge on the batch-verify hot path."""
+    acc = ctypes.create_string_buffer(32 * max(nkeys, 1))
+    L = lib()
+    for rf, xs, keys in jobs:
+        buf = b"".join(
+            (x if 0 <= x < R else x % R)
+            .to_bytes(32, "little") for x in xs)
+        L.cp_fr_scale_accum(rf.to_bytes(32, "little"), buf, keys.tobytes(),
+                            len(xs), acc)
+    raw = acc.raw
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(nkeys)]
 
 
 def export_mont_x(points: list[G1], n_pad: int):

@@ -1319,6 +1319,52 @@ void cp_fr_scale_vec(const uint8_t *rf, const uint8_t *xs, uint64_t n,
     }
 }
 
+// acc[keys[i]] += rf * xs[i] mod r for i in [0, n) — the scale+merge half
+// of the verifier's batched-MSM dedup (msm_accumulator.rs:37-52 semantics,
+// but deferred to one fused native sweep). xs and acc are canonical LE
+// 32-byte scalars; keys index 32-byte slots of acc (caller zeroes acc).
+void cp_fr_scale_accum(const uint8_t *rf, const uint8_t *xs,
+                       const uint8_t *keys_le32, uint64_t n, uint8_t *acc) {
+    Fr4 f;
+    fr4_load(rf, f);  // -> mont, so mont_mul(x_plain, f) = x * rf plain
+    for (uint64_t i = 0; i < n; ++i) {
+        Fr4 x, t, a;
+        std::memcpy(x.l, xs + 32 * i, 32);
+        fr4_mont_mul(x, f, t);
+        uint32_t key;
+        std::memcpy(&key, keys_le32 + 4 * i, 4);
+        uint8_t *dst = acc + 32 * (uint64_t)key;
+        std::memcpy(a.l, dst, 32);
+        unsigned __int128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            unsigned __int128 cur =
+                (unsigned __int128)a.l[j] + t.l[j] + (u64)carry;
+            a.l[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        bool ge = carry != 0;
+        if (!ge) {
+            ge = true;
+            for (int j = 3; j >= 0; --j) {
+                if (a.l[j] != R_ORDER[j]) {
+                    ge = a.l[j] > R_ORDER[j];
+                    break;
+                }
+            }
+        }
+        if (ge) {
+            unsigned __int128 borrow = 0;
+            for (int j = 0; j < 4; ++j) {
+                unsigned __int128 cur =
+                    (unsigned __int128)a.l[j] - R_ORDER[j] - (u64)borrow;
+                a.l[j] = (u64)cur;
+                borrow = (cur >> 64) ? 1 : 0;
+            }
+        }
+        std::memcpy(dst, a.l, 32);
+    }
+}
+
 // out[i] = base^(i+1) for i in [0, n) — canonical LE in and out.
 void cp_fr_powers(const uint8_t *base, uint64_t n, uint8_t *out) {
     Fr4 b;

@@ -54,6 +54,8 @@ class MsmAccumulator:
         from .host import native
 
         nat = native if native.available() else None
+        if nat is not None and sum(len(xs) for _, xs, _ in self._rels) >= 2048:
+            return self._dedup_native(nat)
         scal: dict[int, int] = {}
         pt: dict[int, G1] = {}
         for rf, xs, Vs in self._rels:
@@ -72,6 +74,34 @@ class MsmAccumulator:
                 else:
                     scal[key] = cur + x
         return list(pt.values()), [scal[k] % R for k in pt]
+
+    def _dedup_native(self, nat) -> tuple[list[G1], list[int]]:
+        """Big-batch dedup: python only maps base objects to dense indices
+        (memoised per base-LIST object — the CRS vectors recur across every
+        proof of a batch); the scalar work `acc[key] += rf * x mod r` runs
+        as one fused native sweep per relation (cp_fr_scale_accum).  The
+        base lists captured in `_rels` must not be mutated before verify —
+        the protocol code never does (they are CRS/instance/proof vectors)."""
+        from array import array
+
+        idx_of: dict[int, int] = {}
+        pts: list[G1] = []
+        key_memo: dict[int, array] = {}
+        jobs = []
+        for rf, xs, Vs in self._rels:
+            keys = key_memo.get(id(Vs))
+            if keys is None:
+                keys = array("I", bytes(4 * len(Vs)))
+                for t, base in enumerate(Vs):
+                    k = idx_of.get(id(base))
+                    if k is None:
+                        k = len(pts)
+                        idx_of[id(base)] = k
+                        pts.append(base)
+                    keys[t] = k
+                key_memo[id(Vs)] = keys
+            jobs.append((rf, xs, keys))
+        return pts, nat.fr_scale_accum(jobs, len(pts))
 
     def verify(self) -> None:
         """Run the single deduped MSM; raise VerificationError on mismatch."""

@@ -80,3 +80,45 @@ def test_fr_power_vector_and_scale_native():
         rf = rnd.randrange(1, R)
         xs = [0, 1, R - 1] + [rnd.randrange(R) for _ in range(61)]
         assert native.fr_scale(rf, xs) == [rf * x % R for x in xs]
+
+
+def test_msm_accumulator_native_dedup_matches_python():
+    """The fused native dedup (cp_fr_scale_accum + per-list key memo) must
+    merge identically to the python dict path, including shared base lists
+    across relations and repeated bases within one relation."""
+    import random
+
+    from curdleproofs_tpu.constants import R
+    from curdleproofs_tpu.host import native
+    from curdleproofs_tpu.host.g1 import g1_generator
+    from curdleproofs_tpu.host.rng import StdRng
+    from curdleproofs_tpu.msm_accumulator import MsmAccumulator
+
+    if not native.available():
+        return
+    rng = StdRng.seed_from_u64(9)
+    rnd = random.Random(9)
+    g = g1_generator()
+    shared = [g.mul(rnd.getrandbits(100)) for _ in range(8)]
+    acc = MsmAccumulator()
+    for _ in range(5):
+        fresh = [g.mul(rnd.getrandbits(100)) for _ in range(3)]
+        acc.accumulate_zero(
+            [rnd.getrandbits(253) % R for _ in range(8)], shared, rng)
+        # repeated base inside one relation: shared[0] twice
+        acc.accumulate_zero(
+            [rnd.getrandbits(253) % R for _ in range(5)],
+            fresh + [shared[0], shared[0]], rng)
+
+    b_nat, s_nat = acc._dedup_native(native)
+    scal, pt = {}, {}
+    for rf, xs, Vs in acc._rels:
+        for base, x in zip(Vs, [rf * x % R for x in xs]):
+            k = id(base)
+            if k in scal:
+                scal[k] += x
+            else:
+                scal[k], pt[k] = x, base
+    m_py = {k: v % R for k, v in scal.items()}
+    assert {id(b): s for b, s in zip(b_nat, s_nat)} == m_py
+    assert len(b_nat) == len(m_py)
