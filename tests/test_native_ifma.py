@@ -119,3 +119,44 @@ def test_batch_to_affine_matches_python():
             assert a is None
         else:
             assert a == p.to_affine()
+
+
+def test_msm_scatter_degenerate_distributions():
+    """Stress the scatter bucket phase's conflict machinery: identical
+    scalars force every window's entries into ONE slot (maximal overflow,
+    exercising the counting-sort + pair-tree drain), P/-P pairs force
+    cancellation lanes, and same-base-same-scalar repeats force doubling
+    lanes inside the overflow tree."""
+    rng = random.Random(77)
+
+    # all-identical scalars: worst-case hot slots in every window
+    for n in (64, 300):
+        pts = [_rand_pt(rng) for _ in range(n)]
+        s = rng.randrange(1, R)
+        want = G1.infinity()
+        for p in pts:
+            want = want.add(p)
+        assert native.msm(pts, [s] * n) == want.mul(s)
+
+    # half the points are the negations of the other half, same scalars:
+    # every bucket collapses to infinity through the cancel path
+    pts = [_rand_pt(rng) for _ in range(40)]
+    negs = [p.neg() for p in pts]
+    s = rng.randrange(1, R)
+    assert native.msm(pts + negs, [s] * 80).is_infinity()
+
+    # one repeated point with one repeated scalar: deep doubling chains
+    p = _rand_pt(rng)
+    s = rng.randrange(1, R)
+    assert native.msm([p] * 100, [s] * 100) == p.mul(100 * s % R)
+
+    # mixture: repeats + infinities + zero scalars + tiny scalars
+    pts = [_rand_pt(rng) for _ in range(20)]
+    pts = pts * 10
+    ss = [rng.randrange(R) for _ in range(100)] + [0] * 50 + \
+        [rng.randrange(4) for _ in range(50)]
+    pts[7] = G1.infinity()
+    acc = G1.infinity()
+    for q, x in zip(pts, ss):
+        acc = acc.add(q.mul(x))
+    assert native.msm(pts, ss) == acc
