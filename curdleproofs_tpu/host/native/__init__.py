@@ -95,10 +95,23 @@ def lib() -> ctypes.CDLL | None:
                                       ctypes.c_uint64],
         "cp_subgroup_check": [ctypes.c_char_p, ctypes.c_uint64,
                               ctypes.c_char_p],
+        "cp_same_msm_prove_loop": [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_uint64, ctypes.c_char_p,
+                                   ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_char_p],
+        "cp_ipa_prove_loop": [ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_char_p, ctypes.c_uint64,
+                              ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_char_p, ctypes.c_char_p,
+                              ctypes.c_char_p],
     }.items():
         fn = getattr(cdll, name)
         fn.argtypes = argtypes
         fn.restype = None
+    cdll.cp_same_msm_prove_loop.restype = ctypes.c_int32
+    cdll.cp_ipa_prove_loop.restype = ctypes.c_int32
+    cdll.cp_glv_decompose.restype = ctypes.c_int32
     return cdll
 
 
@@ -493,3 +506,68 @@ def fold(left: list[G1], right: list[G1], gamma: int) -> list[G1]:
     l.cp_fold(pts_to_bytes(left), pts_to_bytes(right), n,
               (gamma % R).to_bytes(32, "little"), out)
     return pts_from_bytes(out.raw, n)
+
+
+# --- native prover round loops -----------------------------------------------
+
+def same_msm_prove_loop(strobe_blob, vec_G: list[G1], vec_T: list[G1],
+                        vec_U: list[G1], vec_x: list[int]):
+    """Run the SameMsm folding recursion natively (one call for all rounds).
+
+    Returns (vec_L_A, vec_L_T, vec_L_U, vec_R_A, vec_R_T, vec_R_U, x_final)
+    or None when the native path is unavailable (caller falls back to the
+    bit-identical Python loop). `strobe_blob` is the live transcript state —
+    it advances exactly as the Python loop would."""
+    l = lib()
+    if l is None or not hasattr(l, "cp_same_msm_prove_loop"):
+        return None
+    g = _glv()
+    if g._native_glv() is None:  # the loop decomposes natively (cp_glv_init)
+        return None
+    n = len(vec_x)
+    if n < 4 or n & (n - 1):
+        return None
+    lg_n = n.bit_length() - 1
+    pts = pts_to_bytes(vec_G) + pts_to_bytes(vec_T) + pts_to_bytes(vec_U)
+    out_lr = ctypes.create_string_buffer(6 * lg_n * _POINT)
+    x_final = ctypes.create_string_buffer(32)
+    rc = l.cp_same_msm_prove_loop(strobe_blob, pts, n,
+                                  scalars_to_bytes(vec_x),
+                                  g.BETA.to_bytes(48, "little"),
+                                  out_lr, x_final)
+    if rc != 0:
+        return None
+    flat = pts_from_bytes(out_lr.raw, 6 * lg_n)
+    return (flat[0::6], flat[1::6], flat[2::6], flat[3::6], flat[4::6],
+            flat[5::6], int.from_bytes(x_final.raw, "little"))
+
+
+def ipa_prove_loop(strobe_blob, vec_G: list[G1], vec_G_prime: list[G1],
+                   H: G1, vec_c: list[int], vec_d: list[int]):
+    """Run the IPA folding recursion natively; the H*<c,d> terms fold into
+    each round's shared-bucket MSM. Returns
+    (vec_L_C, vec_L_D, vec_R_C, vec_R_D, c_final, d_final) or None."""
+    l = lib()
+    if l is None or not hasattr(l, "cp_ipa_prove_loop"):
+        return None
+    g = _glv()
+    if g._native_glv() is None:  # the loop decomposes natively (cp_glv_init)
+        return None
+    n = len(vec_c)
+    if n < 4 or n & (n - 1):
+        return None
+    lg_n = n.bit_length() - 1
+    out_lr = ctypes.create_string_buffer(4 * lg_n * _POINT)
+    c_final = ctypes.create_string_buffer(32)
+    d_final = ctypes.create_string_buffer(32)
+    rc = l.cp_ipa_prove_loop(strobe_blob, pts_to_bytes(vec_G),
+                             pts_to_bytes(vec_G_prime), n,
+                             scalars_to_bytes(vec_c), scalars_to_bytes(vec_d),
+                             _pt_to_bytes(H), g.BETA.to_bytes(48, "little"),
+                             out_lr, c_final, d_final)
+    if rc != 0:
+        return None
+    flat = pts_from_bytes(out_lr.raw, 4 * lg_n)
+    return (flat[0::4], flat[1::4], flat[2::4], flat[3::4],
+            int.from_bytes(c_final.raw, "little"),
+            int.from_bytes(d_final.raw, "little"))

@@ -3724,3 +3724,302 @@ void cp_transcript_challenges(uint8_t *blob, const uint8_t *label,
 }
 
 }  // extern "C"
+
+// ---- native prover round loops ----
+// The IPA and SameMsm provers' folding recursions (inner_product_argument.rs:
+// 150-186, same_multiscalar_argument.rs:99-136) run log n rounds of
+// {shared-bucket MSMs, transcript absorb + challenge, scalar fold, point
+// fold}. Doing each round from Python costs ~10 marshalling boundaries per
+// round; these loops keep the whole recursion native, sharing the strobe
+// state blob with the Python Transcript. The H*<c,d> terms of the IPA's
+// L_C/R_C fold into the round's shared-bucket MSM as extra (H, ip) entries.
+
+namespace {
+
+inline void fr4_addmod(const Fr4 &a, const Fr4 &b, Fr4 &r) {
+    unsigned __int128 carry = 0;
+    u64 t[4];
+    for (int j = 0; j < 4; ++j) {
+        unsigned __int128 cur = (unsigned __int128)a.l[j] + b.l[j] + (u64)carry;
+        t[j] = (u64)cur;
+        carry = cur >> 64;
+    }
+    bool ge = carry != 0;
+    if (!ge) {
+        ge = true;
+        for (int j = 3; j >= 0; --j) {
+            if (t[j] != R_ORDER[j]) { ge = t[j] > R_ORDER[j]; break; }
+        }
+    }
+    if (ge) {
+        unsigned __int128 borrow = 0;
+        for (int j = 0; j < 4; ++j) {
+            unsigned __int128 cur = (unsigned __int128)t[j] - R_ORDER[j]
+                                    - (u64)borrow;
+            r.l[j] = (u64)cur;
+            borrow = (cur >> 64) ? 1 : 0;
+        }
+    } else {
+        for (int j = 0; j < 4; ++j) r.l[j] = t[j];
+    }
+}
+
+// r = a^(r_order - 2): ~255 squarings (the protocol runs one per fold round;
+// latency is irrelevant next to the round's MSMs)
+inline void fr4_inv_mont(const Fr4 &a, Fr4 &r) {
+    u64 e[4];
+    std::memcpy(e, R_ORDER, 32);
+    e[0] -= 2;  // r is odd, no borrow
+    Fr4 acc;
+    bool started = false;
+    for (int limb = 3; limb >= 0; --limb) {
+        for (int bit = 63; bit >= 0; --bit) {
+            if (started) fr4_mont_mul(acc, acc, acc);
+            if ((e[limb] >> bit) & 1) {
+                if (started) fr4_mont_mul(acc, a, acc);
+                else { acc = a; started = true; }
+            }
+        }
+    }
+    r = acc;
+}
+
+// ZCash compressed encoding from a NORMALIZED canonical 144-byte block
+// (z in {0,1}; cp_batch_normalize output). Matches host/serde.py g1_to_bytes.
+inline void g1_compress_canonical(const uint8_t in[144], uint8_t out[48]) {
+    bool inf = true;
+    for (int i = 96; i < 144; ++i)
+        if (in[i]) { inf = false; break; }
+    if (inf) {
+        std::memset(out, 0, 48);
+        out[0] = 0x80 | 0x40;
+        return;
+    }
+    for (int i = 0; i < 48; ++i) out[i] = in[47 - i];  // big-endian x
+    uint8_t flags = 0x80;
+    // sort flag: y > q - y  <=>  2y > q (y != 0 on this curve)
+    u64 y[6];
+    std::memcpy(y, in + 48, 48);
+    u64 two_y[6];
+    u64 top = y[5] >> 63;
+    for (int j = 5; j >= 1; --j) two_y[j] = (y[j] << 1) | (y[j - 1] >> 63);
+    two_y[0] = y[0] << 1;
+    bool gt = top != 0;
+    if (!gt) {
+        for (int j = 5; j >= 0; --j) {
+            if (two_y[j] != P[j]) { gt = two_y[j] > P[j]; break; }
+        }
+    }
+    if (gt) flags |= 0x20;
+    out[0] |= flags;
+}
+
+constexpr int kMaxLg = 32;
+
+}  // namespace
+
+extern "C" {
+
+// SameMsm prover rounds (same_multiscalar_argument.rs:99-136). State and
+// transcript evolve in place; returns 0 on success (nonzero -> caller falls
+// back to the Python loop). pts_gtu: G||T||U as 3n canonical 144B blocks.
+// xs: n canonical 32B LE Fr (already alpha-folded). out_lr: 6*lg_n blocks
+// round-major [L_A,L_T,L_U,R_A,R_T,R_U]; x_final: 32B LE.
+int32_t cp_same_msm_prove_loop(uint8_t *blob, const uint8_t *pts_gtu,
+                               uint64_t n, const uint8_t *xs,
+                               const uint8_t *beta48, uint8_t *out_lr,
+                               uint8_t *x_final) {
+    if (!n || (n & (n - 1))) return 1;
+    std::vector<uint8_t> G(pts_gtu, pts_gtu + 144 * n);
+    std::vector<uint8_t> T(pts_gtu + 144 * n, pts_gtu + 288 * n);
+    std::vector<uint8_t> U(pts_gtu + 288 * n, pts_gtu + 432 * n);
+    std::vector<Fr4> x(n);
+    for (uint64_t i = 0; i < n; ++i) fr4_load(xs + 32 * i, x[i]);
+
+    std::vector<uint8_t> xc(32 * n), k1(16 * n), k2(16 * n), n1(n), n2(n);
+    std::vector<uint8_t> mpts(432 * n), mk1(48 * n), mk2(48 * n), mn1(3 * n),
+        mn2(3 * n), outs(6 * 144), comp(6 * 48);
+    std::vector<uint32_t> mid(3 * n);
+    std::vector<uint8_t> foldL(216 * n), foldR(216 * n), foldO(216 * n);
+
+    size_t len = n;
+    int round = 0;
+    while (len > 1) {
+        size_t half = len / 2;
+        for (size_t i = 0; i < len; ++i)
+            fr4_store(x[i], xc.data() + 32 * i, false);
+        if (cp_glv_decompose(xc.data(), len, k1.data(), n1.data(), k2.data(),
+                             n2.data()) != 0)
+            return 2;
+        // groups: (G_R,x_L),(T_R,x_L),(U_R,x_L),(G_L,x_R),(T_L,x_R),(U_L,x_R)
+        const uint8_t *gsrc[6] = {G.data() + 144 * half, T.data() + 144 * half,
+                                  U.data() + 144 * half, G.data(), T.data(),
+                                  U.data()};
+        for (int g = 0; g < 6; ++g) {
+            std::memcpy(mpts.data() + 144 * half * g, gsrc[g], 144 * half);
+            size_t soff = (g < 3) ? 0 : half;  // x_L for 0-2, x_R for 3-5
+            std::memcpy(mk1.data() + 16 * half * g, k1.data() + 16 * soff,
+                        16 * half);
+            std::memcpy(mk2.data() + 16 * half * g, k2.data() + 16 * soff,
+                        16 * half);
+            std::memcpy(mn1.data() + half * g, n1.data() + soff, half);
+            std::memcpy(mn2.data() + half * g, n2.data() + soff, half);
+            for (size_t i = 0; i < half; ++i) mid[half * g + i] = (uint32_t)g;
+        }
+        cp_msm_glv_many(mpts.data(), 6 * half, mk1.data(), mn1.data(),
+                        mk2.data(), mn2.data(), beta48, mid.data(), 6,
+                        outs.data());
+        cp_batch_normalize(outs.data(), 6);
+        std::memcpy(out_lr + 6 * 144 * (size_t)round, outs.data(), 6 * 144);
+        for (int g = 0; g < 6; ++g)
+            g1_compress_canonical(outs.data() + 144 * g, comp.data() + 48 * g);
+        cp_strobe_append_many(blob, (const uint8_t *)"same_msm_loop", 13,
+                              comp.data(), 48, 6);
+        uint8_t gb[32];
+        cp_transcript_challenges(blob, (const uint8_t *)"same_msm_gamma", 14,
+                                 1, gb);
+        Fr4 gamma, gamma_inv;
+        fr4_load(gb, gamma);
+        fr4_inv_mont(gamma, gamma_inv);
+        // x = x_L + gamma_inv * x_R
+        for (size_t i = 0; i < half; ++i) {
+            Fr4 t;
+            fr4_mont_mul(gamma_inv, x[half + i], t);
+            fr4_addmod(x[i], t, x[i]);
+        }
+        // fold T,U,G by gamma (one call, matching the Python layout)
+        uint8_t gk1[16], gk2[16], gn1v, gn2v;
+        if (cp_glv_decompose(gb, 1, gk1, &gn1v, gk2, &gn2v) != 0) return 3;
+        std::memcpy(foldL.data(), T.data(), 144 * half);
+        std::memcpy(foldL.data() + 144 * half, U.data(), 144 * half);
+        std::memcpy(foldL.data() + 288 * half, G.data(), 144 * half);
+        std::memcpy(foldR.data(), T.data() + 144 * half, 144 * half);
+        std::memcpy(foldR.data() + 144 * half, U.data() + 144 * half,
+                    144 * half);
+        std::memcpy(foldR.data() + 288 * half, G.data() + 144 * half,
+                    144 * half);
+        cp_dual_mul_norm(foldL.data(), foldR.data(), 3 * half, beta48, gk1,
+                         gn1v, gk2, gn2v, 128, foldO.data());
+        std::memcpy(T.data(), foldO.data(), 144 * half);
+        std::memcpy(U.data(), foldO.data() + 144 * half, 144 * half);
+        std::memcpy(G.data(), foldO.data() + 288 * half, 144 * half);
+        len = half;
+        ++round;
+    }
+    fr4_store(x[0], x_final, false);
+    return 0;
+}
+
+// IPA prover rounds (inner_product_argument.rs:150-186). g/gp: n canonical
+// 144B blocks each; cs/ds: n canonical 32B LE Fr (already alpha-folded);
+// h_pt: the beta-scaled H (144B). out_lr: 4*lg_n blocks round-major
+// [L_C,L_D,R_C,R_D]; c_final/d_final: 32B LE.
+int32_t cp_ipa_prove_loop(uint8_t *blob, const uint8_t *g_pts,
+                          const uint8_t *gp_pts, uint64_t n,
+                          const uint8_t *cs, const uint8_t *ds,
+                          const uint8_t *h_pt, const uint8_t *beta48,
+                          uint8_t *out_lr, uint8_t *c_final,
+                          uint8_t *d_final) {
+    if (!n || (n & (n - 1))) return 1;
+    std::vector<uint8_t> G(g_pts, g_pts + 144 * n);
+    std::vector<uint8_t> Gp(gp_pts, gp_pts + 144 * n);
+    std::vector<Fr4> c(n), d(n);
+    for (uint64_t i = 0; i < n; ++i) {
+        fr4_load(cs + 32 * i, c[i]);
+        fr4_load(ds + 32 * i, d[i]);
+    }
+
+    // per round: 2*len + 2 scalars ([c_L | ip1 | d_R | c_R | ip2 | d_L])
+    const size_t cap = 2 * n + 2;
+    std::vector<uint8_t> sc(32 * cap), k1(16 * cap), k2(16 * cap), n1(cap),
+        n2(cap);
+    std::vector<uint8_t> mpts(144 * cap), outs(4 * 144), comp(4 * 48);
+    std::vector<uint32_t> mid(cap);
+    std::vector<uint8_t> foldO(144 * n);
+
+    size_t len = n;
+    int round = 0;
+    while (len > 1) {
+        size_t half = len / 2;
+        // ip1 = <c_L, d_R>, ip2 = <c_R, d_L> (Montgomery accumulate)
+        Fr4 ip1 = {{0, 0, 0, 0}}, ip2 = {{0, 0, 0, 0}};
+        for (size_t i = 0; i < half; ++i) {
+            Fr4 t;
+            fr4_mont_mul(c[i], d[half + i], t);
+            fr4_addmod(ip1, t, ip1);
+            fr4_mont_mul(c[half + i], d[i], t);
+            fr4_addmod(ip2, t, ip2);
+        }
+        // scalar layout: [c_L (half) | ip1 | d_R (half) | c_R (half) | ip2 | d_L (half)]
+        size_t o = 0;
+        for (size_t i = 0; i < half; ++i)
+            fr4_store(c[i], sc.data() + 32 * o++, false);
+        fr4_store(ip1, sc.data() + 32 * o++, false);
+        for (size_t i = 0; i < half; ++i)
+            fr4_store(d[half + i], sc.data() + 32 * o++, false);
+        for (size_t i = 0; i < half; ++i)
+            fr4_store(c[half + i], sc.data() + 32 * o++, false);
+        fr4_store(ip2, sc.data() + 32 * o++, false);
+        for (size_t i = 0; i < half; ++i)
+            fr4_store(d[i], sc.data() + 32 * o++, false);
+        size_t m = o;  // == len + 2
+        if (cp_glv_decompose(sc.data(), m, k1.data(), n1.data(), k2.data(),
+                             n2.data()) != 0)
+            return 2;
+        // points aligned with the scalars; groups 0..3 -> L_C, L_D, R_C, R_D
+        o = 0;
+        std::memcpy(mpts.data() + 144 * o, G.data() + 144 * half, 144 * half);
+        for (size_t i = 0; i < half; ++i) mid[o++] = 0;   // (G_R, c_L)
+        std::memcpy(mpts.data() + 144 * o, h_pt, 144);
+        mid[o++] = 0;                                      // (H, ip1)
+        std::memcpy(mpts.data() + 144 * o, Gp.data(), 144 * half);
+        for (size_t i = 0; i < half; ++i) mid[o++] = 1;   // (Gp_L, d_R)
+        std::memcpy(mpts.data() + 144 * o, G.data(), 144 * half);
+        for (size_t i = 0; i < half; ++i) mid[o++] = 2;   // (G_L, c_R)
+        std::memcpy(mpts.data() + 144 * o, h_pt, 144);
+        mid[o++] = 2;                                      // (H, ip2)
+        std::memcpy(mpts.data() + 144 * o, Gp.data() + 144 * half, 144 * half);
+        for (size_t i = 0; i < half; ++i) mid[o++] = 3;   // (Gp_R, d_L)
+        cp_msm_glv_many(mpts.data(), m, k1.data(), n1.data(), k2.data(),
+                        n2.data(), beta48, mid.data(), 4, outs.data());
+        cp_batch_normalize(outs.data(), 4);
+        std::memcpy(out_lr + 4 * 144 * (size_t)round, outs.data(), 4 * 144);
+        for (int g = 0; g < 4; ++g)
+            g1_compress_canonical(outs.data() + 144 * g, comp.data() + 48 * g);
+        cp_strobe_append_many(blob, (const uint8_t *)"ipa_loop", 8,
+                              comp.data(), 48, 4);
+        uint8_t gb[32];
+        cp_transcript_challenges(blob, (const uint8_t *)"ipa_gamma", 9, 1, gb);
+        Fr4 gamma, gamma_inv;
+        fr4_load(gb, gamma);
+        fr4_inv_mont(gamma, gamma_inv);
+        // c = c_L + gamma_inv * c_R ; d = d_L + gamma * d_R
+        for (size_t i = 0; i < half; ++i) {
+            Fr4 t;
+            fr4_mont_mul(gamma_inv, c[half + i], t);
+            fr4_addmod(c[i], t, c[i]);
+            fr4_mont_mul(gamma, d[half + i], t);
+            fr4_addmod(d[i], t, d[i]);
+        }
+        // G folds by gamma, G' by gamma_inv (two shared-scalar folds)
+        uint8_t gk1[16], gk2[16], gn1v, gn2v;
+        if (cp_glv_decompose(gb, 1, gk1, &gn1v, gk2, &gn2v) != 0) return 3;
+        cp_dual_mul_norm(G.data(), G.data() + 144 * half, half, beta48, gk1,
+                         gn1v, gk2, gn2v, 128, foldO.data());
+        std::memcpy(G.data(), foldO.data(), 144 * half);
+        uint8_t gib[32];
+        fr4_store(gamma_inv, gib, false);
+        if (cp_glv_decompose(gib, 1, gk1, &gn1v, gk2, &gn2v) != 0) return 3;
+        cp_dual_mul_norm(Gp.data(), Gp.data() + 144 * half, half, beta48, gk1,
+                         gn1v, gk2, gn2v, 128, foldO.data());
+        std::memcpy(Gp.data(), foldO.data(), 144 * half);
+        len = half;
+        ++round;
+    }
+    fr4_store(c[0], c_final, false);
+    fr4_store(d[0], d_final, false);
+    (void)kMaxLg;
+    return 0;
+}
+
+}  // extern "C"

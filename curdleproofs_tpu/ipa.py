@@ -104,7 +104,21 @@ class InnerProductProof:
         vec_d = [(rd + alpha * d) % R for rd, d in zip(vec_r_d, vec_d)]
         H = crs_H.mul(beta)
 
-        # Step 2: log n folding rounds
+        # Step 2: log n folding rounds — all rounds in one native call when
+        # the library and a native transcript are available (bit-identical;
+        # the Python loop below is the fallback and the spec)
+        blob = transcript.native_blob()
+        if blob is not None:
+            from .host import native
+
+            res = native.ipa_prove_loop(blob, vec_G, vec_G_prime, H,
+                                        vec_c, vec_d)
+            if res is not None:
+                L_C, L_D, R_C, R_D, c_final, d_final = res
+                return InnerProductProof(B_c, B_d, L_C, R_C, L_D, R_D,
+                                         c_final, d_final)
+
+        # Step 2 (fallback): log n folding rounds
         vec_L_C, vec_R_C, vec_L_D, vec_R_D = [], [], [], []
         while len(vec_c) > 1:
             half = len(vec_c) // 2

@@ -74,6 +74,21 @@ class SameMultiscalarProof:
 
         vec_x = [(r + alpha * x) % R for r, x in zip(vec_r, vec_x)]
 
+        # all log n folding rounds in one native call when the library and a
+        # native transcript are available (bit-identical; the Python loop
+        # below is the fallback and the spec)
+        blob = transcript.native_blob()
+        if blob is not None:
+            from .host import native
+
+            res = native.same_msm_prove_loop(blob, vec_G, vec_T, vec_U, vec_x)
+            if res is not None:
+                (vec_L_A, vec_L_T, vec_L_U, vec_R_A, vec_R_T, vec_R_U,
+                 x_final) = res
+                return SameMultiscalarProof(B_a, B_t, B_u, vec_L_A, vec_L_T,
+                                            vec_L_U, vec_R_A, vec_R_T,
+                                            vec_R_U, x_final)
+
         vec_L_A, vec_L_T, vec_L_U = [], [], []
         vec_R_A, vec_R_T, vec_R_U = [], [], []
 

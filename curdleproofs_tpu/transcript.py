@@ -48,6 +48,13 @@ class Transcript:
         self._t = MerlinTranscript(label)
 
     # --- raw ------------------------------------------------------------
+    def native_blob(self):
+        """The live native strobe state buffer, or None when the transcript
+        runs on the pure-Python strobe. Native round loops (host/native
+        `ipa_prove_loop` / `same_msm_prove_loop`) advance this state exactly
+        as the Python append/challenge calls would."""
+        return getattr(self._t.strobe, "_blob", None)
+
     def append_message(self, label: bytes, message: bytes) -> None:
         self._t.append_message(label, message)
 
