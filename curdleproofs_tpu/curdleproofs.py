@@ -8,6 +8,7 @@ MSM accumulator.
 
 from __future__ import annotations
 
+from .backend import get_backend
 from .commitments import GroupCommitment
 from .constants import N_BLINDERS
 from .crs import CurdleproofsCrs
@@ -74,19 +75,21 @@ class CurdleproofsProof:
 
         vec_a_permuted = get_permutation(vec_a, permutation)
         with span("prover.step2_A_commitment"):
-            A = msm(crs.vec_G, vec_a_permuted).add(msm(crs.vec_H, vec_r_a_prime))
+            A = msm(list(crs.vec_G) + list(crs.vec_H),
+                    list(vec_a_permuted) + list(vec_r_a_prime))
 
         with span("prover.same_permutation"):
             same_perm_proof = SamePermutationProof.new(
                 crs.vec_G, crs.vec_H, crs.H, A, M, vec_a, permutation,
-                vec_r_a_prime, vec_m_blinders, transcript, rng)
+                vec_r_a_prime, vec_m_blinders, transcript, rng,
+                crs_G_sum=crs.G_sum, crs_H_sum=crs.H_sum)
 
         # Step 3
         r_t = rng.rand_fr()
         r_u = rng.rand_fr()
         with span("prover.same_scalar"):
-            R_pt = msm(vec_R, vec_a)
-            S_pt = msm(vec_S, vec_a)
+            R_pt, S_pt = get_backend().msm_many(
+                [(vec_R, vec_a), (vec_S, vec_a)])
 
             cm_T = GroupCommitment.new(crs.G_t, crs.H, R_pt.mul(k), r_t)
             cm_U = GroupCommitment.new(crs.G_u, crs.H, S_pt.mul(k), r_u)

@@ -40,6 +40,8 @@ class GrandProductProof:
         vec_b_blinders: list[int],
         transcript: Transcript,
         rng: StdRng,
+        crs_G_sum=None,
+        crs_H_sum=None,
     ) -> "GrandProductProof":
         n_blinders = len(vec_b_blinders)
         ell = len(crs_G_vec)
@@ -56,7 +58,7 @@ class GrandProductProof:
             vec_c.append(vec_c[-1] * b_i % R)
 
         vec_c_blinders = generate_blinders(rng, n_blinders)
-        C = msm(crs_G_vec, vec_c).add(msm(crs_H_vec, vec_c_blinders))
+        C = msm(list(crs_G_vec) + list(crs_H_vec), vec_c + vec_c_blinders)
 
         vec_r_b_plus_alpha = [(r + alpha) % R for r in vec_b_blinders]
         r_p = inner_product(vec_r_b_plus_alpha, vec_c_blinders)
@@ -92,8 +94,16 @@ class GrandProductProof:
         vec_d_blinders = [beta_ell1 * f % R for f in vec_r_b_plus_alpha]
 
         alphabeta = alpha * beta_ell1 % R
-        D = B.add(msm(vec_G_prime, vec_beta_powers).neg()).add(
-            msm(vec_H_prime, [alphabeta] * n_blinders))
+        if crs_G_sum is not None and crs_H_sum is not None:
+            # The rescalings telescope: <beta-powers, G'> = beta^i *
+            # beta^-(i+1) summed = beta^-1 * G_sum, and the H' term is
+            # alpha * H_sum — the verifier's CRS-sums trick
+            # (doc/optimizations.md:66-93, grand_product_argument.rs:223)
+            # works for the prover's D too: 2 muls instead of an ell-MSM.
+            D = msm([B, crs_G_sum, crs_H_sum], [1, (-beta_inv) % R, alpha])
+        else:
+            D = B.add(msm(vec_G_prime, vec_beta_powers).neg()).add(
+                msm(vec_H_prime, [alphabeta] * n_blinders))
 
         # Step 4: one IPA over the concatenated bases
         vec_G = list(crs_G_vec) + list(crs_H_vec)

@@ -91,8 +91,8 @@ class InnerProductProof:
 
         # Step 1: blind the witness
         vec_r_c, vec_r_d = generate_ipa_blinders(rng, vec_c, vec_d)
-        B_c = msm(vec_G, vec_r_c)
-        B_d = msm(vec_G_prime, vec_r_d)
+        B_c, B_d = backend.msm_many([(vec_G, vec_r_c),
+                                     (vec_G_prime, vec_r_d)])
 
         transcript.append_points(b"ipa_step1", [C, D])
         transcript.append_fr(b"ipa_step1", z)

@@ -39,6 +39,8 @@ class SamePermutationProof:
         vec_m_blinders: list[int],
         transcript: Transcript,
         rng: StdRng,
+        crs_G_sum=None,
+        crs_H_sum=None,
     ) -> "SamePermutationProof":
         n_blinders = len(vec_a_blinders)
         ell = len(crs_G_vec)
@@ -57,14 +59,20 @@ class SamePermutationProof:
         for f in factors:
             gprod_result = gprod_result * f % R
 
-        B = A.add(M.mul(alpha)).add(msm(crs_G_vec, [beta] * ell))
+        if crs_G_sum is not None:
+            # <beta*1, G> = beta * G_sum: the CRS sum replaces the ell-MSM
+            # of same_permutation_argument.rs:76 (2-point MSM + A).
+            B = A.add(msm([M, crs_G_sum], [alpha, beta]))
+        else:
+            B = A.add(M.mul(alpha)).add(msm(crs_G_vec, [beta] * ell))
 
         vec_b_blinders = [(vec_a_blinders[i] + alpha * vec_m_blinders[i]) % R
                           for i in range(n_blinders)]
 
         grand_product_proof = GrandProductProof.new(
             crs_G_vec, crs_H_vec, crs_U, B, gprod_result, factors,
-            vec_b_blinders, transcript, rng)
+            vec_b_blinders, transcript, rng,
+            crs_G_sum=crs_G_sum, crs_H_sum=crs_H_sum)
 
         return SamePermutationProof(B, grand_product_proof)
 
