@@ -1719,6 +1719,80 @@ void ladder_groupK(const ifma::Fq8 *b1x, const ifma::Fq8 *b1y,
     }
 }
 
+// the ladder pass of fold_ifma over all lane groups, K instances in flight
+// (K picked at runtime via CP_FOLD_K; deeper interleave hides more montmul
+// latency at the cost of table cache footprint — ~25 KB per instance)
+template <int K>
+void fold_ladder_pass(uint64_t n, const u64 *p1x, const u64 *p1y,
+                      const u64 *p2x, const u64 *p2y, const uint8_t *inf,
+                      const u64 *lx, const u64 *ly, const u64 *lz,
+                      const int *d1, const int *d2, int nwin,
+                      u64 *ox, u64 *oy, u64 *oz) {
+    using namespace ifma;
+    for (size_t base = 0; base < n; base += 8 * K) {
+        Fq8 B1X[K], B1Y[K], B2X[K], B2Y[K];
+        __mmask8 infm[K];
+        unsigned lanes[K];
+        for (int g = 0; g < K; ++g) {
+            size_t gb = base + 8 * (size_t)g;
+            size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
+            lanes[g] = m == 8 ? 0xffu : ((1u << m) - 1u);
+            const u64 *s1x[8], *s1y[8], *s2x[8], *s2y[8];
+            infm[g] = 0;
+            for (int kk = 0; kk < 8; ++kk) {
+                size_t e = (size_t)kk < m ? gb + kk : base;
+                s1x[kk] = p1x + e * 8;
+                s1y[kk] = p1y + e * 8;
+                s2x[kk] = p2x + e * 8;
+                s2y[kk] = p2y + e * 8;
+                if ((size_t)kk >= m || inf[e])
+                    infm[g] = (__mmask8)(infm[g] | (1u << kk));
+            }
+            load8(s1x, B1X[g]); load8(s1y, B1Y[g]);
+            load8(s2x, B2X[g]); load8(s2y, B2Y[g]);
+        }
+        Jac8 acc[K];
+        ladder_groupK<K>(B1X, B1Y, infm, B2X, B2Y, infm, d1, d2, nwin, acc);
+        if (lx) {
+            Jac8 L[K];
+            for (int g = 0; g < K; ++g) {
+                size_t gb = base + 8 * (size_t)g;
+                size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
+                const u64 *slx[8], *sly[8], *slz[8];
+                for (int kk = 0; kk < 8; ++kk) {
+                    size_t e = (size_t)kk < m ? gb + kk : base;
+                    slx[kk] = lx + e * 8;
+                    sly[kk] = ly + e * 8;
+                    slz[kk] = lz + e * 8;
+                }
+                load8(slx, L[g].X); load8(sly, L[g].Y); load8(slz, L[g].Z);
+            }
+            add_jacK<K>(acc, L);
+        }
+        for (int g = 0; g < K; ++g) {
+            if (!lanes[g]) continue;
+            size_t gb = base + 8 * (size_t)g;
+            u64 *dx[8], *dy[8], *dz[8];
+            for (int kk = 0; kk < 8; ++kk) {
+                size_t e = gb + (size_t)kk;
+                size_t safe = e < n ? e : gb;
+                dx[kk] = ox + safe * 8;
+                dy[kk] = oy + safe * 8;
+                dz[kk] = oz + safe * 8;
+            }
+            store8(acc[g].X, dx, lanes[g]);
+            store8(acc[g].Y, dy, lanes[g]);
+            store8(acc[g].Z, dz, lanes[g]);
+        }
+    }
+}
+
+inline int fold_interleave_depth() {
+    const char *e = std::getenv("CP_FOLD_K");
+    int v = e ? std::atoi(e) : 2;
+    return (v >= 1 && v <= 4) ? v : 2;
+}
+
 // out[i] = (left ? left[i] : 0) + k*right[i] for the SHARED GLV-split scalar
 // (k1, k2 16-byte magnitudes; signs neg1/neg2). Outputs batch-normalized
 // (z = 1). Eight points per lane-group, whole ladder per group so the
@@ -1770,63 +1844,31 @@ void fold_ifma(const uint8_t *left_bytes, const uint8_t *points, uint64_t n,
     for (int w = w1; w < nwin; ++w) d1[w] = 0;
     for (int w = w2; w < nwin; ++w) d2[w] = 0;
 
-    constexpr int K = 2;  // interleaved lane-groups (latency hiding)
     std::vector<u64> ox(ng * 64), oy(ng * 64), oz(ng * 64);
-    for (size_t base = 0; base < n; base += 8 * K) {
-        Fq8 B1X[K], B1Y[K], B2X[K], B2Y[K];
-        __mmask8 infm[K];
-        unsigned lanes[K];
-        for (int g = 0; g < K; ++g) {
-            size_t gb = base + 8 * (size_t)g;
-            size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
-            lanes[g] = m == 8 ? 0xffu : ((1u << m) - 1u);
-            const u64 *s1x[8], *s1y[8], *s2x[8], *s2y[8];
-            infm[g] = 0;
-            for (int kk = 0; kk < 8; ++kk) {
-                size_t e = (size_t)kk < m ? gb + kk : base;
-                s1x[kk] = p1x.data() + e * 8;
-                s1y[kk] = p1y.data() + e * 8;
-                s2x[kk] = p2x.data() + e * 8;
-                s2y[kk] = p2y.data() + e * 8;
-                if ((size_t)kk >= m || inf[e])
-                    infm[g] = (__mmask8)(infm[g] | (1u << kk));
-            }
-            load8(s1x, B1X[g]); load8(s1y, B1Y[g]);
-            load8(s2x, B2X[g]); load8(s2y, B2Y[g]);
-        }
-        Jac8 acc[K];
-        ladder_groupK<K>(B1X, B1Y, infm, B2X, B2Y, infm, d1, d2, nwin, acc);
-        if (left_bytes) {
-            Jac8 L[K];
-            for (int g = 0; g < K; ++g) {
-                size_t gb = base + 8 * (size_t)g;
-                size_t m = gb >= n ? 0 : (n - gb < 8 ? n - gb : 8);
-                const u64 *slx[8], *sly[8], *slz[8];
-                for (int kk = 0; kk < 8; ++kk) {
-                    size_t e = (size_t)kk < m ? gb + kk : base;
-                    slx[kk] = lx.data() + e * 8;
-                    sly[kk] = ly.data() + e * 8;
-                    slz[kk] = lz.data() + e * 8;
-                }
-                load8(slx, L[g].X); load8(sly, L[g].Y); load8(slz, L[g].Z);
-            }
-            add_jacK<K>(acc, L);
-        }
-        for (int g = 0; g < K; ++g) {
-            if (!lanes[g]) continue;
-            size_t gb = base + 8 * (size_t)g;
-            u64 *dx[8], *dy[8], *dz[8];
-            for (int kk = 0; kk < 8; ++kk) {
-                size_t e = gb + (size_t)kk;
-                size_t safe = e < n ? e : gb;
-                dx[kk] = ox.data() + safe * 8;
-                dy[kk] = oy.data() + safe * 8;
-                dz[kk] = oz.data() + safe * 8;
-            }
-            store8(acc[g].X, dx, lanes[g]);
-            store8(acc[g].Y, dy, lanes[g]);
-            store8(acc[g].Z, dz, lanes[g]);
-        }
+    const u64 *lpx = left_bytes ? lx.data() : nullptr;
+    const u64 *lpy = left_bytes ? ly.data() : nullptr;
+    const u64 *lpz = left_bytes ? lz.data() : nullptr;
+    switch (fold_interleave_depth()) {
+        case 1:
+            fold_ladder_pass<1>(n, p1x.data(), p1y.data(), p2x.data(),
+                                p2y.data(), inf.data(), lpx, lpy, lpz, d1, d2,
+                                nwin, ox.data(), oy.data(), oz.data());
+            break;
+        case 3:
+            fold_ladder_pass<3>(n, p1x.data(), p1y.data(), p2x.data(),
+                                p2y.data(), inf.data(), lpx, lpy, lpz, d1, d2,
+                                nwin, ox.data(), oy.data(), oz.data());
+            break;
+        case 4:
+            fold_ladder_pass<4>(n, p1x.data(), p1y.data(), p2x.data(),
+                                p2y.data(), inf.data(), lpx, lpy, lpz, d1, d2,
+                                nwin, ox.data(), oy.data(), oz.data());
+            break;
+        default:
+            fold_ladder_pass<2>(n, p1x.data(), p1y.data(), p2x.data(),
+                                p2y.data(), inf.data(), lpx, lpy, lpz, d1, d2,
+                                nwin, ox.data(), oy.data(), oz.data());
+            break;
     }
     std::vector<Fq> rx(n), ry(n), rz(n);
     convert_from52_batch(ox.data(), n, rx.data());
