@@ -178,9 +178,12 @@ def bench_protocol(ell: int, repeats: int, batch: int):
         pf.verify_with_accumulator(crs, inst.vec_R, inst.vec_S, inst.vec_T,
                                    inst.vec_U, inst.M, acc, rng)
     replay_s = time.perf_counter() - t0
-    bases, scalars = acc._dedup()
+    bases, scalars = acc.dedup_raw()
     t0 = time.perf_counter()
-    assert msm(bases, scalars).is_infinity()
+    if isinstance(scalars, (bytes, bytearray)):
+        assert backend.msm_raw(bases, scalars).is_infinity()
+    else:
+        assert msm(bases, scalars).is_infinity()
     msm_s = time.perf_counter() - t0
 
     batch_stats = {

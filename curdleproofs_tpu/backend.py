@@ -25,6 +25,14 @@ class Backend:
     def msm(self, points: list[G1], scalars: list[int]) -> G1:
         raise NotImplementedError
 
+    def msm_raw(self, points: list[G1], sbytes: bytes) -> G1:
+        """MSM with scalars as canonical 32 B-LE bytes (the verifier's fused
+        dedup layout). Backends override to skip the int round trip."""
+        n = len(points)
+        return self.msm(points, [
+            int.from_bytes(sbytes[i * 32:(i + 1) * 32], "little")
+            for i in range(n)])
+
     def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
         """[scalar * P for P in points]"""
         raise NotImplementedError
@@ -72,6 +80,13 @@ class HostBackend(Backend):
         if self._native is not None and len(points) >= 2:
             return self._native.msm(points, scalars)
         return _pippenger(points, scalars)
+
+    def msm_raw(self, points: list[G1], sbytes: bytes) -> G1:
+        if not points:
+            return G1.infinity()
+        if self._native is not None and len(points) >= 2:
+            return self._native.msm_scalars_raw(points, sbytes)
+        return super().msm_raw(points, sbytes)
 
     def batch_mul(self, points: list[G1], scalar: int) -> list[G1]:
         if self._native is not None and points:

@@ -146,13 +146,20 @@ def decompose_batch(scalars: list[int]):
     """Batch GLV split via the native library: returns
     (k1s bytes [16B each], negs1 bytes, k2s bytes, negs2 bytes) or None if the
     native path is unavailable / a half overflows (caller falls back)."""
+    if _native_glv() is None:
+        return None
+    ks = b"".join((s % R).to_bytes(32, "little") for s in scalars)
+    return decompose_batch_raw(ks, len(scalars))
+
+
+def decompose_batch_raw(ks: bytes, n: int):
+    """`decompose_batch` over pre-serialised canonical 32 B-LE scalars (the
+    verifier's fused-dedup output) — no python int round trip."""
     fn = _native_glv()
     if fn is None:
         return None
     import ctypes
 
-    n = len(scalars)
-    ks = b"".join((s % R).to_bytes(32, "little") for s in scalars)
     k1s = ctypes.create_string_buffer(16 * n)
     k2s = ctypes.create_string_buffer(16 * n)
     n1 = ctypes.create_string_buffer(n)

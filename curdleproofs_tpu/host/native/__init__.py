@@ -272,11 +272,15 @@ def fr_scale(rf: int, xs: list[int]) -> list[int]:
             for i in range(n)]
 
 
-def fr_scale_accum(jobs, nkeys: int) -> list[int]:
+def fr_scale_accum(jobs, nkeys: int, raw: bool = False):
     """Fused verifier dedup: for every job (rf, xs, keys) do
     acc[keys[i]] += rf * xs[i] mod r, over a shared accumulator of `nkeys`
     scalars; returns the merged scalars. One native sweep per relation —
-    replaces the per-entry python dict merge on the batch-verify hot path."""
+    replaces the per-entry python dict merge on the batch-verify hot path.
+
+    `raw=True` returns the accumulator as canonical 32 B-LE bytes (the
+    layout `msm_scalars_raw`/`cp_glv_decompose` consume), skipping the
+    per-key int materialisation on the verify path entirely."""
     acc = ctypes.create_string_buffer(32 * max(nkeys, 1))
     L = lib()
     for rf, xs, keys in jobs:
@@ -285,8 +289,10 @@ def fr_scale_accum(jobs, nkeys: int) -> list[int]:
             .to_bytes(32, "little") for x in xs)
         L.cp_fr_scale_accum(rf.to_bytes(32, "little"), buf, keys.tobytes(),
                             len(xs), acc)
-    raw = acc.raw
-    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+    raw_bytes = acc.raw[: 32 * nkeys]
+    if raw:
+        return raw_bytes
+    return [int.from_bytes(raw_bytes[i * 32:(i + 1) * 32], "little")
             for i in range(nkeys)]
 
 
@@ -408,6 +414,32 @@ def msm(points: list[G1], scalars: list[int]) -> G1:
             l.cp_msm(pts_to_bytes(points), scalars_to_bytes(scalars), n, out)
             return pts_from_bytes(out.raw, 1)[0]
         db = (bytes(k1s), bytes(negs1), bytes(k2s), bytes(negs2))
+    k1s, negs1, k2s, negs2 = db
+    l.cp_msm_glv(pts_to_bytes(points), n, k1s, negs1, k2s, negs2,
+                 g.BETA.to_bytes(48, "little"), out)
+    return pts_from_bytes(out.raw, 1)[0]
+
+
+def msm_scalars_raw(points: list[G1], sbytes: bytes) -> G1:
+    """`msm` with scalars given as canonical 32 B-LE raw bytes.
+
+    The verifier's fused dedup (`fr_scale_accum(raw=True)`) produces exactly
+    this layout, so the accumulated-MSM check runs dedup -> GLV split -> MSM
+    without ever materialising the ~|bases| merged scalars as python ints."""
+    l = lib()
+    out = ctypes.create_string_buffer(_POINT)
+    n = len(points)
+    assert len(sbytes) == 32 * n
+    if n == 0:
+        return G1.infinity()
+    if n < MSM_GLV_CUTOFF:
+        l.cp_msm(pts_to_bytes(points), sbytes, n, out)
+        return pts_from_bytes(out.raw, 1)[0]
+    g = _glv()
+    db = g.decompose_batch_raw(sbytes, n)
+    if db is None:  # native GLV unavailable: one conversion pass, slow path
+        return msm(points, [int.from_bytes(sbytes[i * 32:(i + 1) * 32],
+                                           "little") for i in range(n)])
     k1s, negs1, k2s, negs2 = db
     l.cp_msm_glv(pts_to_bytes(points), n, k1s, negs1, k2s, negs2,
                  g.BETA.to_bytes(48, "little"), out)

@@ -55,10 +55,37 @@ def g1_to_bytes(p: G1) -> bytes:
     return cb
 
 
-# When set (by `deferred_subgroup_checks`), decompressed points queue here
-# and their subgroup membership is verified in ONE batched native ladder at
-# context exit — proof deserialization decompresses ~90 points per proof.
+# When set (by `deferred_subgroup_checks`), decompressed (bytes, point)
+# pairs queue here and their subgroup membership is verified in ONE batched
+# native ladder at context exit — proof deserialization decompresses ~90
+# points per proof; a whisk shuffle verify decompresses ~500.
 _DEFERRED: list | None = None
+
+# Fully-validated decompression cache: 48-byte compressed encoding -> G1.
+# Decompression is a pure function and subgroup membership is a property of
+# the bytes, so serving a cached point is sound; entries are inserted ONLY
+# after curve + subgroup validation passed.  This is the consensus-client
+# access pattern: one round's post-shuffle trackers are the next round's
+# pre-trackers, and a verification batch shares its (R, S) inputs across
+# proofs — all of which would otherwise pay the ~25 us sqrt + subgroup
+# ladder per point again.  Disable with CP_NO_DECOMPRESS_CACHE=1.
+_CACHE: dict[bytes, G1] = {}
+_CACHE_CAP = 1 << 16  # ~30 MB worst case
+
+
+def _cache_enabled() -> bool:
+    import os
+
+    return os.environ.get("CP_NO_DECOMPRESS_CACHE") != "1"
+
+
+def _cache_put(buf: bytes, p: G1) -> None:
+    if len(_CACHE) >= _CACHE_CAP:
+        # evict the oldest 1/16 (insertion order)
+        for k in list(__import__("itertools").islice(iter(_CACHE),
+                                                     _CACHE_CAP // 16)):
+            del _CACHE[k]
+    _CACHE[buf] = p
 
 
 class deferred_subgroup_checks:
@@ -72,11 +99,12 @@ class deferred_subgroup_checks:
 
     def __exit__(self, exc_type, exc, tb):
         global _DEFERRED
-        pts, _DEFERRED = _DEFERRED, self._prev
+        entries, _DEFERRED = _DEFERRED, self._prev
         if exc_type is not None:
             return False
-        if not pts:
+        if not entries:
             return False
+        pts = [p for _, p in entries]
         try:
             import ctypes
 
@@ -90,15 +118,21 @@ class deferred_subgroup_checks:
                 if any(flags.raw):
                     raise SerializationError(
                         "point not in the prime-order subgroup")
+                if _cache_enabled():
+                    for buf, p in entries:
+                        if buf is not None:
+                            _cache_put(buf, p)
                 return False
         except SerializationError:
             raise
         except Exception:
             pass
-        for pt in pts:
+        for buf, pt in entries:
             if not pt.is_in_correct_subgroup():
                 raise SerializationError(
                     "point not in the prime-order subgroup")
+            if buf is not None and _cache_enabled():
+                _cache_put(buf, pt)
         return False
 
 
@@ -111,14 +145,19 @@ def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:
     batched checker keeps its lanes full."""
     if len(buf) != 48:
         raise SerializationError("G1 compressed encoding must be 48 bytes")
+    cached = _CACHE.get(buf)
+    if cached is not None:
+        return cached
     p = _native_decompress_nosub(buf)
     if p is not None:
         if validate:
             if _DEFERRED is not None:
-                _DEFERRED.append(p)
+                _DEFERRED.append((buf, p))
             elif not p.is_in_correct_subgroup():
                 raise SerializationError(
                     "point not in the prime-order subgroup")
+            elif _cache_enabled():
+                _cache_put(buf, p)
         return p
     flags = buf[0] & 0xE0
     if not flags & _COMPRESSED_FLAG:
@@ -138,9 +177,11 @@ def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:
     p = G1.from_affine(x, y)
     if validate:
         if _DEFERRED is not None:
-            _DEFERRED.append(p)      # batch-checked when the context exits
+            _DEFERRED.append((buf, p))  # batch-checked when the context exits
         elif not p.is_in_correct_subgroup():
             raise SerializationError("point not in the prime-order subgroup")
+        elif _cache_enabled():
+            _cache_put(buf, p)
     return p
 
 
@@ -186,7 +227,11 @@ def g1_from_bytes_batch(bufs: list[bytes], validate: bool = True) -> list[G1]:
     Inside a `deferred_subgroup_checks` context the subgroup test is queued
     (one big batched ladder at context exit) so decompress costs only the
     parse + sqrt."""
-    if validate and len(bufs) >= 4:
+    hits = [_CACHE.get(b) for b in bufs] if _CACHE else [None] * len(bufs)
+    miss_idx = [i for i, h in enumerate(hits) if h is None]
+    if not miss_idx:
+        return hits
+    if validate and len(miss_idx) >= 4:
         try:
             import ctypes
 
@@ -194,29 +239,38 @@ def g1_from_bytes_batch(bufs: list[bytes], validate: bool = True) -> list[G1]:
 
             lib = native.lib()
             if lib is not None and hasattr(lib, "cp_g1_decompress_validate"):
-                n = len(bufs)
-                for b in bufs:
+                miss_bufs = [bufs[i] for i in miss_idx]
+                n = len(miss_bufs)
+                for b in miss_bufs:
                     if len(b) != 48:
                         raise SerializationError(
                             "G1 compressed encoding must be 48 bytes")
                 defer = _DEFERRED is not None
                 out = ctypes.create_string_buffer(144 * n)
                 flags = ctypes.create_string_buffer(n)
-                lib.cp_g1_decompress_validate(b"".join(bufs), n, out,
+                lib.cp_g1_decompress_validate(b"".join(miss_bufs), n, out,
                                               flags, 0 if defer else 1)
-                for i, f in enumerate(flags.raw):
+                for j, f in enumerate(flags.raw):
                     if f:
                         raise SerializationError(
-                            f"point {i}: " + _DECOMPRESS_FLAG_ERRORS[f])
+                            f"point {miss_idx[j]}: "
+                            + _DECOMPRESS_FLAG_ERRORS[f])
                 pts = native.pts_from_bytes(out.raw, n)
                 if defer:
-                    _DEFERRED.extend(pts)
-                return pts
+                    _DEFERRED.extend(zip(miss_bufs, pts))
+                elif _cache_enabled():
+                    for b, p in zip(miss_bufs, pts):
+                        _cache_put(b, p)
+                for j, i in enumerate(miss_idx):
+                    hits[i] = pts[j]
+                return hits
         except SerializationError:
             raise
         except Exception:
             pass
-    return [g1_from_bytes(b, validate=validate) for b in bufs]
+    for i in miss_idx:
+        hits[i] = g1_from_bytes(bufs[i], validate=validate)
+    return hits
 
 
 def fr_from_bytes(buf: bytes) -> int:

@@ -13,6 +13,10 @@ from .host.g1 import G1
 from .host.rng import StdRng
 from .util import msm
 
+# Below this many accumulated scalar terms the python dict merge wins on
+# latency; above it the fused native sweep (cp_fr_scale_accum) wins.
+_NATIVE_DEDUP_MIN = 768
+
 __all__ = ["MsmAccumulator"]
 
 
@@ -54,7 +58,7 @@ class MsmAccumulator:
         from .host import native
 
         nat = native if native.available() else None
-        if nat is not None and sum(len(xs) for _, xs, _ in self._rels) >= 2048:
+        if nat is not None and sum(len(xs) for _, xs, _ in self._rels) >= _NATIVE_DEDUP_MIN:
             return self._dedup_native(nat)
         scal: dict[int, int] = {}
         pt: dict[int, G1] = {}
@@ -75,7 +79,7 @@ class MsmAccumulator:
                     scal[key] = cur + x
         return list(pt.values()), [scal[k] % R for k in pt]
 
-    def _dedup_native(self, nat) -> tuple[list[G1], list[int]]:
+    def _dedup_native(self, nat, raw: bool = False):
         """Big-batch dedup: python only maps base objects to dense indices
         (memoised per base-LIST object — the CRS vectors recur across every
         proof of a batch); the scalar work `acc[key] += rf * x mod r` runs
@@ -101,10 +105,32 @@ class MsmAccumulator:
                     keys[t] = k
                 key_memo[id(Vs)] = keys
             jobs.append((rf, xs, keys))
-        return pts, nat.fr_scale_accum(jobs, len(pts))
+        return pts, nat.fr_scale_accum(jobs, len(pts), raw=raw)
+
+    def dedup_raw(self):
+        """(bases, scalars) with scalars as raw canonical 32 B-LE bytes when
+        the native runtime produces them (the fused-dedup fast path), python
+        ints otherwise.  `Backend.msm_raw` and `DeviceMsmStream.add` accept
+        both forms."""
+        from .host import native
+
+        if (native.available()
+                and sum(len(xs) for _, xs, _ in self._rels) >= _NATIVE_DEDUP_MIN):
+            return self._dedup_native(native, raw=True)
+        return self._dedup()
 
     def verify(self) -> None:
-        """Run the single deduped MSM; raise VerificationError on mismatch."""
-        bases, scalars = self._dedup()
-        if not msm(bases, scalars).is_infinity():
+        """Run the single deduped MSM; raise VerificationError on mismatch.
+
+        With the native runtime, the merged scalars stay as raw canonical
+        bytes from the dedup sweep through the GLV split into the MSM — no
+        per-base python-int materialisation (backend.msm_raw)."""
+        from .backend import get_backend
+
+        bases, scalars = self.dedup_raw()
+        if isinstance(scalars, (bytes, bytearray)):
+            ok = get_backend().msm_raw(bases, scalars).is_infinity()
+        else:
+            ok = msm(bases, scalars).is_infinity()
+        if not ok:
             raise VerificationError("accumulated MSM check failed")

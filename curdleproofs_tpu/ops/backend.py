@@ -57,6 +57,19 @@ class HybridBackend(Backend):
         self.last_msm_engine = "host"
         return self._host.msm(points, scalars)
 
+    def msm_raw(self, points, sbytes):
+        n = len(points)
+        if n >= self.device_msm_threshold:
+            from .msm_device import _BASES_CACHE, msm_device
+
+            hit = _BASES_CACHE.get(id(points))
+            resident = hit is not None and hit[0] is points
+            if resident or n >= (1 << 17):
+                self.last_msm_engine = "device"
+                return msm_device(points, sbytes)
+        self.last_msm_engine = "host"
+        return self._host.msm_raw(points, sbytes)
+
     def batch_mul(self, points, scalar):
         return self._host.batch_mul(points, scalar)
 

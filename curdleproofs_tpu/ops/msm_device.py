@@ -287,14 +287,27 @@ def prepare_bases(points: list[G1]) -> DeviceBases:
     return db
 
 
-def _scalars_to_limbs(scalars: list[int], n_pad: int) -> np.ndarray:
-    """Canonical scalars -> [16, n_pad] uint32 of 16-bit limbs (32 B each)."""
-    buf = b"".join(
-        (s if 0 <= s < R else s % R).to_bytes(32, "little") for s in scalars)
-    le16 = np.frombuffer(buf, dtype="<u2").reshape(len(scalars), 16)
+def _scalars_to_limbs(scalars: "list[int] | bytes", n_pad: int) -> np.ndarray:
+    """Canonical scalars -> [16, n_pad] uint32 of 16-bit limbs (32 B each).
+
+    Accepts either python ints or a pre-serialised canonical 32 B-LE buffer
+    (the verifier's fused-dedup output — no int round trip)."""
+    if isinstance(scalars, (bytes, bytearray)):
+        buf, n = bytes(scalars), len(scalars) // 32
+    else:
+        n = len(scalars)
+        buf = b"".join(
+            (s if 0 <= s < R else s % R).to_bytes(32, "little")
+            for s in scalars)
+    le16 = np.frombuffer(buf, dtype="<u2").reshape(n, 16)
     out = np.zeros((n_pad, 16), dtype=np.uint32)
-    out[: len(scalars)] = le16
+    out[:n] = le16
     return np.ascontiguousarray(out.T)
+
+
+def _scalars_len(scalars: "list[int] | bytes") -> int:
+    return (len(scalars) // 32 if isinstance(scalars, (bytes, bytearray))
+            else len(scalars))
 
 
 # --------------------------------------------------------------------------
@@ -604,12 +617,13 @@ def _window_sums_to_host(out: np.ndarray) -> list[G1]:
     return pts
 
 
-def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
+def msm_device(points: list[G1] | DeviceBases, scalars: "list[int] | bytes",
                c: int | None = None) -> G1:
     """Device MSM: one jitted pipeline call + a W-term host Horner ladder.
 
     `points` may be a DeviceBases (preferred for repeated MSMs over the same
     bases) or a plain list (uploaded through the `prepare_bases` id-cache).
+    `scalars` may be python ints or canonical 32 B-LE raw bytes.
     """
     if isinstance(points, DeviceBases):
         bases = points
@@ -619,7 +633,7 @@ def msm_device(points: list[G1] | DeviceBases, scalars: list[int],
         if n_real == 0:
             return G1.infinity()
         bases = prepare_bases(points)
-    if len(scalars) != n_real:
+    if _scalars_len(scalars) != n_real:
         raise ValueError("points/scalars length mismatch")
     params = pick_params(bases.n, c)  # pad_n fixed point: params.n == bases.n
     assert params.n == bases.n, "bases padded under a different shape family"
@@ -672,13 +686,15 @@ class DeviceMsmStream:
         self.params = pick_params(n_chunk, c)
         self._outs: list = []
 
-    def add(self, points: list[G1], scalars: list[int]) -> None:
-        assert len(points) == len(scalars)
+    def add(self, points: list[G1], scalars: "list[int] | bytes") -> None:
+        assert len(points) == _scalars_len(scalars)
         n = self.params.n
         for off in range(0, len(points), n):
             bases = DeviceBases(points[off : off + n], n_pad=n)
-            self._outs.append(
-                _dispatch_pipeline(bases, scalars[off : off + n], self.params))
+            sl = (scalars[off * 32 : (off + n) * 32]
+                  if isinstance(scalars, (bytes, bytearray))
+                  else scalars[off : off + n])
+            self._outs.append(_dispatch_pipeline(bases, sl, self.params))
 
     def result(self) -> G1:
         wins: list[G1] | None = None

@@ -58,7 +58,7 @@ def _batch_verify_streamed(
                 proofs[i].verify_with_accumulator(
                     crs, inst.vec_R, inst.vec_S, inst.vec_T, inst.vec_U,
                     inst.M, acc, rng)
-            bases, scalars = acc._dedup()
+            bases, scalars = acc.dedup_raw()
             if stream is None:
                 # every full chunk dedups to the same size (identical proof
                 # structure); slack covers dedup jitter, oversized adds split
