@@ -34,3 +34,20 @@ def test_round_trip_every_backend(backend_cls):
         proof = CurdleproofsProof.new(crs, vec_R, vec_S, T, U, M, perm, k,
                                       mb, rng)
         proof.verify(crs, vec_R, vec_S, T, U, M, rng)
+
+
+def test_msm_raw_every_backend():
+    """msm_raw (canonical 32B-LE scalars) matches msm on every backend; the
+    hybrid path must route sub-threshold sizes to the host engine."""
+    rng = StdRng.seed_from_u64(4)
+    n = 48
+    pts = [rng.rand_g1() for _ in range(n)]
+    ss = [rng.rand_fr() for _ in range(n)]
+    sb = b"".join(s.to_bytes(32, "little") for s in ss)
+    expect = HostBackend().msm(pts, ss)
+    for backend_cls in (HostBackend, PurePythonBackend, HybridBackend):
+        b = backend_cls()
+        assert b.msm_raw(pts, sb) == expect, backend_cls.__name__
+    hb = HybridBackend()
+    hb.msm_raw(pts, sb)
+    assert hb.last_msm_engine == "host"  # n < device threshold
