@@ -177,6 +177,37 @@ def is_valid_whisk_shuffle_proof(
         return False
 
 
+def is_valid_whisk_shuffle_proofs(
+    rng: StdRng, crs: CurdleproofsCrs,
+    shuffles: "list[tuple[list[WhiskTracker], list[WhiskTracker], bytes]]",
+    identify: bool = False,
+) -> "bool | list[bool]":
+    """Byte-level batch twin of `is_valid_whisk_shuffle_proof` (new
+    capability; the reference verifies one shuffle per call, whisk.rs:106).
+
+    `shuffles` is a list of (pre_trackers, post_trackers, proof_bytes) —
+    e.g. a chain-sync segment of Whisk shuffle blocks.  All proofs share one
+    deduped accumulator MSM (`parallel/batch_verify.py`), and consecutive
+    blocks' tracker lists overlap (block k's post == block k+1's pre), so
+    the validated-decompress cache collapses their sqrt + subgroup work.
+
+    All-or-nothing bool; `identify=True` bisects to per-shuffle verdicts on
+    failure.  Malformed bytes raise SerializationError (same surface as the
+    single-proof path).
+    """
+    from .parallel.batch_verify import ShuffleInstance, batch_verify
+
+    instances, proofs = [], []
+    for pre, post, proof_bytes in shuffles:
+        vec_r, vec_s = _unzip_trackers(pre)
+        vec_t, vec_u = _unzip_trackers(post)
+        with deferred_subgroup_checks():
+            wsp = WhiskShuffleProof.deserialize(proof_bytes, crs.log2_n())
+        instances.append(ShuffleInstance(vec_r, vec_s, vec_t, vec_u, wsp.M))
+        proofs.append(wsp.proof)
+    return batch_verify(crs, instances, proofs, rng, identify=identify)
+
+
 def generate_whisk_tracker_proof(rng: StdRng, tracker: WhiskTracker,
                                  k: int) -> bytes:
     """Schnorr DLEQ opening proof (whisk.rs:228-263)."""
