@@ -27,8 +27,10 @@ def __getattr__(name):
 
         return CurdleproofsCrs
     if name in ("WhiskTracker", "generate_whisk_shuffle_proof",
-                "is_valid_whisk_shuffle_proof", "generate_whisk_tracker_proof",
-                "is_valid_whisk_tracker_proof"):
+                "is_valid_whisk_shuffle_proof", "is_valid_whisk_shuffle_proofs",
+                "generate_whisk_tracker_proof",
+                "is_valid_whisk_tracker_proof",
+                "is_valid_whisk_tracker_proofs"):
         from . import whisk as _m
 
         return getattr(_m, name)
