@@ -190,9 +190,13 @@ class CurdleproofsProof:
             vec_T_with_blinders, vec_U_with_blinders, transcript,
             msm_accumulator, rng)
 
-        # R/S consistency
-        msm_accumulator.accumulate_check(self.R, vec_a, vec_R, rng)
-        msm_accumulator.accumulate_check(self.S, vec_a, vec_S, rng)
+        # R/S consistency; the shared FrVec serialises vec_a once for both
+        # relations' dedup jobs
+        from .util import FrVec
+
+        vec_a_fr = FrVec(vec_a)
+        msm_accumulator.accumulate_check(self.R, vec_a_fr, vec_R, rng)
+        msm_accumulator.accumulate_check(self.S, vec_a_fr, vec_S, rng)
 
     # --- serde (curdleproofs.rs:300-323) --------------------------------------
     def serialize(self) -> bytes:

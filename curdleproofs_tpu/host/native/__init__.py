@@ -237,9 +237,11 @@ def export_mont_affine(points: list[G1], n_pad: int):
 
 
 def fr_vsp(challenges: list[int], n: int, cmul: int | None = None,
-           mulvec: list[int] | None = None, neg: bool = False) -> list[int]:
+           mulvec: list[int] | None = None, neg: bool = False,
+           raw: bool = False):
     """Verification-scalar products with optional constant/vector scaling and
-    negation, whole chain native (one Montgomery mul per entry)."""
+    negation, whole chain native (one Montgomery mul per entry).  `raw=True`
+    returns the canonical 32 B-LE buffer for FrVec accumulation."""
     logn = len(challenges)
     ch = b"".join(c.to_bytes(32, "little") for c in challenges)
     cm = cmul.to_bytes(32, "little") if cmul is not None else None
@@ -247,8 +249,10 @@ def fr_vsp(challenges: list[int], n: int, cmul: int | None = None,
           if mulvec is not None else None)
     out = ctypes.create_string_buffer(32 * n)
     lib().cp_fr_vsp(ch, logn, n, cm, mv, 1 if neg else 0, out)
-    raw = out.raw
-    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+    if raw:
+        return out.raw[: 32 * n]
+    raw_b = out.raw
+    return [int.from_bytes(raw_b[i * 32:(i + 1) * 32], "little")
             for i in range(n)]
 
 
@@ -284,11 +288,15 @@ def fr_scale_accum(jobs, nkeys: int, raw: bool = False):
     acc = ctypes.create_string_buffer(32 * max(nkeys, 1))
     L = lib()
     for rf, xs, keys in jobs:
-        buf = b"".join(
-            (x if 0 <= x < R else x % R)
-            .to_bytes(32, "little") for x in xs)
+        if isinstance(xs, (bytes, bytearray)):  # pre-serialised (FrVec.to_raw)
+            buf, cnt = bytes(xs), len(xs) // 32
+        else:
+            buf = b"".join(
+                (x if 0 <= x < R else x % R)
+                .to_bytes(32, "little") for x in xs)
+            cnt = len(xs)
         L.cp_fr_scale_accum(rf.to_bytes(32, "little"), buf, keys.tobytes(),
-                            len(xs), acc)
+                            cnt, acc)
     raw_bytes = acc.raw[: 32 * nkeys]
     if raw:
         return raw_bytes

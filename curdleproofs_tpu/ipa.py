@@ -19,8 +19,8 @@ from .host.serde import (
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import (
-    generate_blinders, inner_product, msm, scaled_verification_products,
-    verification_scalar_products,
+    FrVec, generate_blinders, inner_product, msm,
+    scaled_verification_products, verification_scalar_products,
 )
 
 __all__ = ["InnerProductProof", "generate_ipa_blinders"]
@@ -224,17 +224,19 @@ class InnerProductProof:
         lhs_x = vec_gamma + [1, alpha, a2zb] + vec_gamma_inv
         lhs_V = self.vec_L_C + [self.B_c, C, crs_H] + self.vec_R_C
         neg_rhs = scaled_verification_products(
-            challenges, n, cmul=self.c_final, neg=True)
-        neg_rhs.append(-(self.c_final * self.d_final % R * beta) % R)
-        msm_accumulator.accumulate_zero(lhs_x + neg_rhs, lhs_V + vec_G_H, rng)
+            challenges, n, cmul=self.c_final, neg=True, raw=True)
+        tail = -(self.c_final * self.d_final % R * beta) % R
+        msm_accumulator.accumulate_zero(FrVec(lhs_x, neg_rhs, [tail]),
+                                        lhs_V + vec_G_H, rng)
 
         # second accumulated check (D-side): rhs_i = d_final * inv_s_i * u_i
         lhs_x = vec_gamma + [1, alpha] + vec_gamma_inv
         lhs_V = self.vec_L_D + [self.B_d, D] + self.vec_R_D
         neg_rhs = scaled_verification_products(
-            challenges_inv, n, cmul=self.d_final, mulvec=vec_u, neg=True)
-        msm_accumulator.accumulate_zero(lhs_x + neg_rhs, lhs_V + list(crs_G_vec),
-                                        rng)
+            challenges_inv, n, cmul=self.d_final, mulvec=vec_u, neg=True,
+            raw=True)
+        msm_accumulator.accumulate_zero(FrVec(lhs_x, neg_rhs),
+                                        lhs_V + list(crs_G_vec), rng)
 
     # --- serde (layout: inner_product_argument.rs:328-351) --------------------
     def serialize(self) -> bytes:

@@ -11,7 +11,7 @@ from .constants import R
 from .errors import VerificationError
 from .host.g1 import G1
 from .host.rng import StdRng
-from .util import msm
+from .util import FrVec, msm
 
 # Below this many accumulated scalar terms the python dict merge wins on
 # latency; above it the fused native sweep (cp_fr_scale_accum) wins.
@@ -63,6 +63,8 @@ class MsmAccumulator:
         scal: dict[int, int] = {}
         pt: dict[int, G1] = {}
         for rf, xs, Vs in self._rels:
+            if isinstance(xs, FrVec):
+                xs = xs.to_ints()
             # the random scaling runs as one native Montgomery-mul sweep;
             # the merge then only adds (mod deferred to extraction)
             if nat is not None and len(xs) >= 32:
@@ -104,7 +106,8 @@ class MsmAccumulator:
                         pts.append(base)
                     keys[t] = k
                 key_memo[id(Vs)] = keys
-            jobs.append((rf, xs, keys))
+            jobs.append((rf, xs.to_raw() if isinstance(xs, FrVec) else xs,
+                         keys))
         return pts, nat.fr_scale_accum(jobs, len(pts), raw=raw)
 
     def dedup_raw(self):

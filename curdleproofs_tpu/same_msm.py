@@ -19,7 +19,7 @@ from .host.serde import (
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import (
-    generate_blinders, msm, scaled_verification_products,
+    FrVec, generate_blinders, msm, scaled_verification_products,
     verification_scalar_products,
 )
 
@@ -181,15 +181,17 @@ class SameMultiscalarProof:
         # :249-259); here the gamma-folded L/R terms and the alpha-muls all
         # ride the single deduped MSM. rhs_i = x_final * s_i, negated —
         # one fused native chain (shared by the three relations).
-        neg_rhs = scaled_verification_products(
-            vec_gamma, n, cmul=self.x_final, neg=True)
+        neg_rhs = FrVec(scaled_verification_products(
+            vec_gamma, n, cmul=self.x_final, neg=True, raw=True))
+        lhs_x = FrVec(vec_gamma + [1, alpha] + vec_gamma_inv)
         for L, R_, B_pt, C_pt, bases in (
                 (self.vec_L_A, self.vec_R_A, self.B_a, A, crs_G_vec),
                 (self.vec_L_T, self.vec_R_T, self.B_t, Z_t, vec_T),
                 (self.vec_L_U, self.vec_R_U, self.B_u, Z_u, vec_U)):
-            lhs_x = vec_gamma + [1, alpha] + vec_gamma_inv
+            # lhs_x / neg_rhs FrVecs serialise once and are shared by the
+            # three relations' dedup jobs
             lhs_V = L + [B_pt, C_pt] + R_
-            msm_accumulator.accumulate_zero(lhs_x + neg_rhs,
+            msm_accumulator.accumulate_zero(FrVec(lhs_x, neg_rhs),
                                             lhs_V + list(bases), rng)
 
     # --- serde (same_multiscalar_argument.rs:263-289) ---------------------------

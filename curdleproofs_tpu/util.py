@@ -80,20 +80,79 @@ def verification_scalar_products(challenges: list[int], n: int) -> list[int]:
     return s
 
 
+class FrVec:
+    """Concatenated Fr scalar vector whose parts are python-int lists, raw
+    canonical 32 B-LE blocks (native chain outputs), or nested FrVecs.
+
+    Verify-path relations are built from native chain outputs (`fr_vsp`,
+    transcript challenges) plus a handful of loose scalars; holding the big
+    parts as raw bytes lets them flow into the accumulator's fused dedup
+    sweep (`cp_fr_scale_accum`) without ever materialising as ints, and the
+    per-instance raw cache means a vector accumulated twice (e.g. vec_a
+    against both R and S, curdleproofs.rs:293-294) serialises once."""
+
+    __slots__ = ("parts", "_raw")
+
+    def __init__(self, *parts):
+        self.parts = [p for p in parts if not (isinstance(p, list) and not p)]
+        self._raw = None
+
+    def __len__(self) -> int:
+        return sum(len(p) // 32 if isinstance(p, (bytes, bytearray))
+                   else len(p) for p in self.parts)
+
+    def __add__(self, other) -> "FrVec":
+        return FrVec(*self.parts, other)
+
+    def __radd__(self, other) -> "FrVec":
+        return FrVec(other, *self.parts)
+
+    def to_raw(self) -> bytes:
+        """Canonical 32 B-LE concatenation (cached)."""
+        if self._raw is None:
+            chunks = []
+            for p in self.parts:
+                if isinstance(p, (bytes, bytearray)):
+                    chunks.append(bytes(p))
+                elif isinstance(p, FrVec):
+                    chunks.append(p.to_raw())
+                else:
+                    chunks.append(b"".join(
+                        (x if 0 <= x < R else x % R).to_bytes(32, "little")
+                        for x in p))
+            self._raw = b"".join(chunks)
+        return self._raw
+
+    def to_ints(self) -> list[int]:
+        out: list[int] = []
+        for p in self.parts:
+            if isinstance(p, (bytes, bytearray)):
+                out.extend(int.from_bytes(p[i * 32:(i + 1) * 32], "little")
+                           for i in range(len(p) // 32))
+            elif isinstance(p, FrVec):
+                out.extend(p.to_ints())
+            else:
+                out.extend(p)
+        return out
+
+
 def scaled_verification_products(challenges: list[int], n: int,
                                  cmul: int | None = None,
                                  mulvec: list[int] | None = None,
-                                 neg: bool = False) -> list[int]:
+                                 neg: bool = False, raw: bool = False):
     """`verification_scalar_products` with the scaling its callers apply
     fused in: out_i = [-] cmul * s_i [* mulvec_i].
 
     The IPA/SameMsm verifier replays compute `c_final * s_i` (negated, as the
     accumulator's rhs) and `d_final * inv_s_i * u_i`; running the whole chain
     in the native Fr Montgomery engine (host/native `cp_fr_vsp`) turns ~3n
-    python bigint mulmods per call into one ctypes round trip."""
+    python bigint mulmods per call into one ctypes round trip.  `raw=True`
+    returns canonical 32 B-LE bytes when the native chain ran (for FrVec
+    accumulation); callers must accept either form."""
     nat = _native()
     if nat is not None:
-        return nat.fr_vsp(challenges, n, cmul=cmul, mulvec=mulvec, neg=neg)
+        return nat.fr_vsp(challenges, n, cmul=cmul, mulvec=mulvec, neg=neg,
+                          raw=raw)
     s = verification_scalar_products(challenges, n)
     if cmul is not None:
         s = [cmul * v % R for v in s]
