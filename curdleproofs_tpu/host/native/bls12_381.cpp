@@ -4065,3 +4065,97 @@ int32_t cp_ipa_prove_loop(uint8_t *blob, const uint8_t *g_pts,
 }
 
 }  // extern "C"
+
+// ---- microbenchmark hook (perf work only; no protocol use) ----
+// Times `iters` ops of one kind, returns wall ns.  Latency kinds run one
+// dependency chain; throughput kinds run 4 independent chains.  Results are
+// accumulated into a sink so nothing is dead-code-eliminated.
+extern "C" uint64_t cp_ifma_bench(int32_t kind, uint64_t iters) {
+#if CP_HAVE_IFMA
+    using namespace ifma;
+    uint64_t seed = 0x9e3779b97f4a7c15ULL;
+    auto next = [&seed]() {
+        seed ^= seed << 13; seed ^= seed >> 7; seed ^= seed << 17;
+        return seed;
+    };
+    Fq a[8], b[8];
+    for (int k = 0; k < 8; ++k) {
+        for (int j = 0; j < 6; ++j) { a[k].l[j] = next(); b[k].l[j] = next(); }
+        a[k].l[5] &= (1ULL << 61) - 1;
+        b[k].l[5] &= (1ULL << 61) - 1;
+        while (fq_geq_p(a[k])) fq_sub_p(a[k]);
+        while (fq_geq_p(b[k])) fq_sub_p(b[k]);
+    }
+    u64 pa[64], pb[64];
+    convert_to52_batch(a, 8, pa);
+    convert_to52_batch(b, 8, pb);
+    const u64 *sa[8], *sb[8];
+    for (int k = 0; k < 8; ++k) { sa[k] = pa + 8 * k; sb[k] = pb + 8 * k; }
+    Fq8 va, vb;
+    load8(sa, va);
+    load8(sb, vb);
+    Fq8 r0 = va, r1 = vb, r2 = va, r3 = vb;
+    Jac8 p[4];
+    for (int g = 0; g < 4; ++g) { p[g].X = va; p[g].Y = vb; p[g].Z = va; }
+    auto t0 = std::chrono::steady_clock::now();
+    switch (kind) {
+    case 0:  // montmul8 latency chain
+        for (uint64_t i = 0; i < iters; ++i) montmul8(r0, vb, r0);
+        break;
+    case 1:  // montmul8 throughput (4 chains)
+        for (uint64_t i = 0; i < iters; i += 4) {
+            montmul8(r0, vb, r0); montmul8(r1, vb, r1);
+            montmul8(r2, vb, r2); montmul8(r3, vb, r3);
+        }
+        break;
+    case 2:  // sqr8 latency chain
+        for (uint64_t i = 0; i < iters; ++i) sqr8(r0, r0);
+        break;
+    case 3:  // add8 latency chain
+        for (uint64_t i = 0; i < iters; ++i) add8(r0, vb, r0);
+        break;
+    case 4:  // sub8 latency chain
+        for (uint64_t i = 0; i < iters; ++i) sub8(r0, vb, r0);
+        break;
+    case 5:  // add8 throughput (4 chains)
+        for (uint64_t i = 0; i < iters; i += 4) {
+            add8(r0, vb, r0); add8(r1, vb, r1);
+            add8(r2, vb, r2); add8(r3, vb, r3);
+        }
+        break;
+    case 6:  // jacobian double, K=1 (one group chain)
+        for (uint64_t i = 0; i < iters; ++i) dbl_jacK<1>(p);
+        break;
+    case 7:  // jacobian double, K=3 interleave (counts 3 doublings/call)
+        for (uint64_t i = 0; i < iters; i += 3) dbl_jacK<3>(p);
+        break;
+    case 8:  // jacobian add, K=1
+        for (uint64_t i = 0; i < iters; ++i) add_jacK<1>(p, p + 1);
+        break;
+    case 9:  // jacobian add, K=3
+        for (uint64_t i = 0; i < iters; i += 3) add_jacK<3>(p, p + 1);
+        break;
+    case 10:  // the halved-cross-term square schedule (superseded)
+        for (uint64_t i = 0; i < iters; ++i) _sqr8_halved(r0, r0);
+        break;
+    default:
+        return 0;
+    }
+    auto ns = std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now() - t0).count();
+    // sink
+    u64 out[64];
+    u64 *dr[8];
+    for (int k = 0; k < 8; ++k) dr[k] = out + 8 * k;
+    add8(r0, r1, r0); add8(r2, r3, r2); add8(r0, r2, r0);
+    add8(r0, p[0].X, r0); add8(r0, p[0].Y, r0); add8(r0, p[0].Z, r0);
+    store8(r0, dr);
+    volatile u64 sink = 0;
+    for (int j = 0; j < 64; ++j) sink += out[j];
+    (void)sink;
+    return (uint64_t)ns;
+#else
+    (void)kind; (void)iters;
+    return 0;
+#endif
+}

@@ -220,12 +220,16 @@ inline void montmul8(const Fq8 &a, const Fq8 &b, Fq8 &r) {
     csub_p(r.v);
 }
 
-// Montgomery square, SOS with halved cross terms: cross products i<j are
-// accumulated once and doubled before the diagonals join — 72 madds in the
-// product phase instead of 128. Accumulator bound: cross sums < 8*2^52,
-// doubled < 2^56, plus diagonals and the reduction's 2 adds per slot per
-// round stays well under 2^63.
-inline void sqr8(const Fq8 &a, Fq8 &r) {
+// Montgomery square. The halved-cross-term schedule below accumulates
+// multiple (i, j) pairs of equal i+j into the same t slot back-to-back,
+// which serialises on the 4-cycle madd52 latency and measures ~30% SLOWER
+// than the plain product schedule despite 56 fewer madds (86 vs 111 ns on
+// the target Xeon, cp_ifma_bench kinds 0/2) — so sqr8 delegates to
+// montmul8.  The original schedule is kept (unused) as _sqr8_halved for
+// wider cores where the madd ports, not the dependency chains, bind.
+inline void sqr8(const Fq8 &a, Fq8 &r) { montmul8(a, a, r); }
+
+inline void _sqr8_halved(const Fq8 &a, Fq8 &r) {
     const __m512i zero = _mm512_setzero_si512();
     __m512i t[16];
     for (int k = 0; k < 16; ++k) t[k] = zero;
