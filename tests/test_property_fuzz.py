@@ -81,3 +81,29 @@ def test_g1_group_laws_and_serde(seed, s1, s2):
     # compressed codec round-trip
     assert g1_from_bytes(g1_to_bytes(p)) == p
     assert g1_from_bytes(g1_to_bytes(G1.infinity())) == G1.infinity()
+
+
+@cfg
+@given(st.lists(st.one_of(
+    st.lists(fr_el, max_size=5),
+    st.lists(fr_el, max_size=5).map(
+        lambda xs: b"".join(x.to_bytes(32, "little") for x in xs)),
+), max_size=6), st.lists(fr_el, max_size=3))
+def test_frvec_raw_int_duality(parts, tail):
+    """FrVec over arbitrary int-list / raw-block / nested compositions:
+    to_raw and to_ints agree, concatenation and length law hold."""
+    from curdleproofs_tpu.util import FrVec
+
+    v = FrVec(*parts)
+    n = sum(len(p) // 32 if isinstance(p, bytes) else len(p) for p in parts)
+    assert len(v) == n
+    ints = v.to_ints()
+    raw = v.to_raw()
+    assert len(ints) == n and len(raw) == 32 * n
+    assert [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(n)] == ints
+    w = FrVec(v, tail) + tail            # nested + appended + __add__
+    assert len(w) == n + 2 * len(tail)
+    assert w.to_ints() == ints + tail + tail
+    assert w.to_raw() == raw + 2 * b"".join(
+        t.to_bytes(32, "little") for t in tail)
