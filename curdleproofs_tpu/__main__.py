@@ -8,12 +8,13 @@ crs.rs:77-142 hex-JSON), so artifacts interoperate with arkworks-serialized
 ones.
 
 Commands:
-  crs              generate a (dev, seeded) CRS -> hex-JSON file
-  shuffle-prove    shuffle + prove over a tracker-list JSON
-  shuffle-verify   verify a whisk shuffle proof (exit 0 valid / 1 invalid)
-  tracker-prove    Schnorr DLEQ opening proof for one tracker
-  tracker-verify   verify a tracker opening proof
-  info             backend / native-runtime / device report
+  crs                   generate a (dev, seeded) CRS -> hex-JSON file
+  shuffle-prove         shuffle + prove over a tracker-list JSON
+  shuffle-verify        verify a whisk shuffle proof (exit 0 valid / 1 not)
+  shuffle-verify-batch  verify a manifest of shuffles with one MSM
+  tracker-prove         Schnorr DLEQ opening proof for one tracker
+  tracker-verify        verify a tracker opening proof
+  info                  backend / native-runtime / device report
 
 Tracker-list JSON: [{"r_G": "0x<48B hex>", "k_r_G": "0x<48B hex>"}, ...].
 """
@@ -105,6 +106,45 @@ def cmd_shuffle_verify(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_shuffle_verify_batch(args) -> int:
+    """Verify a chain-sync segment: manifest JSON is a list of
+    {"pre": <tracker-json path>, "post": <path>, "proof": <proof path>},
+    resolved relative to the manifest file."""
+    import os
+
+    from .host.rng import StdRng  # noqa: F401  (rng built below)
+    from .host.serde import SerializationError
+    from .whisk import is_valid_whisk_shuffle_proofs
+
+    crs = _load_crs(args.crs)
+    base = os.path.dirname(os.path.abspath(args.manifest))
+    with open(args.manifest) as f:
+        entries = json.load(f)
+
+    def rel(p):
+        return p if os.path.isabs(p) else os.path.join(base, p)
+
+    shuffles = []
+    for e in entries:
+        with open(rel(e["proof"]), "rb") as f:
+            proof = f.read()
+        shuffles.append((_load_trackers(rel(e["pre"])),
+                         _load_trackers(rel(e["post"])), proof))
+    try:
+        verdicts = is_valid_whisk_shuffle_proofs(_rng(args.seed), crs,
+                                                 shuffles, identify=True)
+    except SerializationError as e:
+        print(f"INVALID ({e})")
+        return 1
+    if verdicts is True:
+        print(f"valid ({len(shuffles)} shuffles)")
+        return 0
+    for i, ok in enumerate(verdicts):
+        if not ok:
+            print(f"INVALID: shuffle {i}")
+    return 1
+
+
 def cmd_tracker_prove(args) -> int:
     from .whisk import WhiskTracker, generate_whisk_tracker_proof
 
@@ -184,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--proof", required=True)
     c.add_argument("--seed", type=int, default=None)
     c.set_defaults(fn=cmd_shuffle_verify)
+
+    c = sub.add_parser("shuffle-verify-batch",
+                       help="verify a manifest of shuffles with one "
+                            "accumulated MSM")
+    c.add_argument("--crs", required=True)
+    c.add_argument("--manifest", required=True,
+                   help='JSON: [{"pre": path, "post": path, "proof": path}]')
+    c.add_argument("--seed", type=int, default=None)
+    c.set_defaults(fn=cmd_shuffle_verify_batch)
 
     c = sub.add_parser("tracker-prove", help="tracker opening (DLEQ) proof")
     c.add_argument("--r-g", required=True, help="0x-hex 48B compressed r*G")

@@ -48,6 +48,27 @@ def test_cli_shuffle_roundtrip(workdir):
                  "--proof", str(d / "pbad.bin")]) == 1
 
 
+def test_cli_shuffle_verify_batch(workdir):
+    d, _, _ = workdir
+    # chain two shuffles: round 2's pre = round 1's post
+    assert main(["shuffle-prove", "--crs", str(d / "crs.json"),
+                 "--pre", str(d / "post.json"), "--post", str(d / "post2.json"),
+                 "--proof", str(d / "p2.bin"), "--seed", "8"]) == 0
+    manifest = [{"pre": "pre.json", "post": "post.json", "proof": "p.bin"},
+                {"pre": "post.json", "post": "post2.json", "proof": "p2.bin"}]
+    (d / "chain.json").write_text(json.dumps(manifest))
+    assert main(["shuffle-verify-batch", "--crs", str(d / "crs.json"),
+                 "--manifest", str(d / "chain.json")]) == 0
+    # corrupt block 1 -> exit 1
+    manifest[1]["proof"] = "pbad2.bin"
+    bad = bytearray((d / "p2.bin").read_bytes())
+    bad[-1] ^= 1
+    (d / "pbad2.bin").write_bytes(bytes(bad))
+    (d / "chain.json").write_text(json.dumps(manifest))
+    assert main(["shuffle-verify-batch", "--crs", str(d / "crs.json"),
+                 "--manifest", str(d / "chain.json")]) == 1
+
+
 def test_cli_tracker_roundtrip(workdir):
     d, trk, ks = workdir
     kG = "0x" + g1_to_bytes(GENERATOR.mul(ks[0])).hex()
