@@ -30,7 +30,10 @@ from .limbs import FQ_LIMBS, LIMB_BITS, LIMB_MASK, int_to_limbs
 
 __all__ = ["FieldSpec", "FQ", "carry_rows", "cond_sub_rows", "mul_rows"]
 
-_MASK = jnp.uint32(LIMB_MASK)
+# plain int, NOT jnp.uint32: creating a jax array at import time would
+# initialize the PJRT backend, which blocks for minutes when a remote-TPU
+# tunnel is attached but degraded; py-int & uint32 keeps uint32 dtype.
+_MASK = LIMB_MASK
 
 
 # --- row-list kernels: straight-line limb math shared with Pallas ----------
@@ -130,7 +133,12 @@ class FieldSpec:
         self.mont_R2 = self.mont_R * self.mont_R % modulus
         self.mont_R_inv = pow(self.mont_R, -1, modulus)
         self.n0_inv = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
-        self.p_limbs = jnp.asarray(int_to_limbs(modulus, n_limbs))
+        # numpy, not jnp: FieldSpec is built at import (FQ below) and must
+        # not initialize the device backend; jnp ops lift it when traced
+        import numpy as _np
+
+        self.p_limbs = _np.asarray(int_to_limbs(modulus, n_limbs),
+                                   dtype=_np.uint32)
         self.p_rows = [int(v) for v in int_to_limbs(modulus, n_limbs)]
         self.one_mont = self.mont_R % modulus
 

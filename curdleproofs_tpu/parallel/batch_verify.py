@@ -13,14 +13,19 @@ Semantics: all-or-nothing (a single invalid proof fails the batch);
 
 from __future__ import annotations
 
-from jax.sharding import Mesh
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # deferred: importing jax.sharding can initialize the
+    # PJRT plugin stack, which blocks for minutes when the remote-TPU
+    # tunnel is attached but degraded — host-only batch verification must
+    # never touch it (the mesh path imports it lazily).
+    from jax.sharding import Mesh
 
 from ..crs import CurdleproofsCrs
 from ..curdleproofs import CurdleproofsProof
 from ..errors import VerificationError
 from ..host.rng import StdRng
 from ..msm_accumulator import MsmAccumulator
-from .sharded_msm import sharded_msm
 
 __all__ = ["batch_verify", "ShuffleInstance"]
 
@@ -76,6 +81,8 @@ def _final_check(acc: MsmAccumulator, mesh: Mesh | None) -> bool:
             return True
         except VerificationError:
             return False
+    from .sharded_msm import sharded_msm  # lazy: pulls in the jax stack
+
     bases, scalars = acc._dedup()
     return sharded_msm(bases, scalars, mesh).is_infinity()
 
