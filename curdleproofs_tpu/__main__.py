@@ -26,6 +26,17 @@ import json
 import sys
 
 
+def _hex_bytes(s: str, what: str = "value") -> bytes:
+    """'0x'-prefixed hex -> bytes, with a real error instead of silently
+    chopping two characters off an unprefixed string."""
+    if not s.startswith("0x"):
+        raise SystemExit(f"error: {what} must be 0x-prefixed hex, got {s[:10]!r}...")
+    try:
+        return bytes.fromhex(s[2:])
+    except ValueError:
+        raise SystemExit(f"error: {what} is not valid hex")
+
+
 def _load_crs(path: str):
     from .crs import CurdleproofsCrs
 
@@ -38,8 +49,8 @@ def _load_trackers(path: str):
 
     with open(path) as f:
         items = json.load(f)
-    return [WhiskTracker(bytes.fromhex(t["r_G"][2:]),
-                         bytes.fromhex(t["k_r_G"][2:])) for t in items]
+    return [WhiskTracker(_hex_bytes(t["r_G"], "r_G"),
+                         _hex_bytes(t["k_r_G"], "k_r_G")) for t in items]
 
 
 def _dump_trackers(trackers, path: str) -> None:
@@ -112,7 +123,6 @@ def cmd_shuffle_verify_batch(args) -> int:
     resolved relative to the manifest file."""
     import os
 
-    from .host.rng import StdRng  # noqa: F401  (rng built below)
     from .host.serde import SerializationError
     from .whisk import is_valid_whisk_shuffle_proofs
 
@@ -148,8 +158,8 @@ def cmd_shuffle_verify_batch(args) -> int:
 def cmd_tracker_prove(args) -> int:
     from .whisk import WhiskTracker, generate_whisk_tracker_proof
 
-    tracker = WhiskTracker(bytes.fromhex(args.r_g[2:]),
-                           bytes.fromhex(args.k_r_g[2:]))
+    tracker = WhiskTracker(_hex_bytes(args.r_g, "--r-g"),
+                           _hex_bytes(args.k_r_g, "--k-r-g"))
     k = int(args.k, 0)
     proof = generate_whisk_tracker_proof(_rng(args.seed), tracker, k)
     with open(args.proof, "wb") as f:
@@ -163,13 +173,13 @@ def cmd_tracker_verify(args) -> int:
 
     from .host.serde import SerializationError
 
-    tracker = WhiskTracker(bytes.fromhex(args.r_g[2:]),
-                           bytes.fromhex(args.k_r_g[2:]))
+    tracker = WhiskTracker(_hex_bytes(args.r_g, "--r-g"),
+                           _hex_bytes(args.k_r_g, "--k-r-g"))
     with open(args.proof, "rb") as f:
         proof = f.read()
     try:
         ok = is_valid_whisk_tracker_proof(
-            tracker, bytes.fromhex(args.k_commitment[2:]), proof)
+            tracker, _hex_bytes(args.k_commitment, "--k-commitment"), proof)
     except SerializationError as e:
         print(f"INVALID ({e})")
         return 1

@@ -27,8 +27,15 @@ class Backend:
 
     def msm_raw(self, points: list[G1], sbytes: bytes) -> G1:
         """MSM with scalars as canonical 32 B-LE bytes (the verifier's fused
-        dedup layout). Backends override to skip the int round trip."""
+        dedup layout). Backends override to skip the int round trip.
+
+        The length check is a hard raise (NOT an assert): a short buffer
+        would silently read missing scalars as 0, and a zero-heavy MSM
+        trends toward infinity — the accumulated check would fail OPEN."""
         n = len(points)
+        if len(sbytes) != 32 * n:
+            raise ValueError(
+                f"scalar buffer is {len(sbytes)} B for {n} points")
         return self.msm(points, [
             int.from_bytes(sbytes[i * 32:(i + 1) * 32], "little")
             for i in range(n)])

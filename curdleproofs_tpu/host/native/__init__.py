@@ -437,7 +437,9 @@ def msm_scalars_raw(points: list[G1], sbytes: bytes) -> G1:
     l = lib()
     out = ctypes.create_string_buffer(_POINT)
     n = len(points)
-    assert len(sbytes) == 32 * n
+    if len(sbytes) != 32 * n:  # hard raise: short buffer = zero scalars =
+        # the accumulated-MSM check failing OPEN (asserts vanish under -O)
+        raise ValueError(f"scalar buffer is {len(sbytes)} B for {n} points")
     if n == 0:
         return G1.infinity()
     if n < MSM_GLV_CUTOFF:

@@ -145,9 +145,10 @@ def g1_from_bytes(buf: bytes, validate: bool = True) -> G1:
     batched checker keeps its lanes full."""
     if len(buf) != 48:
         raise SerializationError("G1 compressed encoding must be 48 bytes")
-    cached = _CACHE.get(buf)
-    if cached is not None:
-        return cached
+    if _CACHE and _cache_enabled():
+        cached = _CACHE.get(buf)
+        if cached is not None:
+            return cached
     p = _native_decompress_nosub(buf)
     if p is not None:
         if validate:
@@ -227,7 +228,8 @@ def g1_from_bytes_batch(bufs: list[bytes], validate: bool = True) -> list[G1]:
     Inside a `deferred_subgroup_checks` context the subgroup test is queued
     (one big batched ladder at context exit) so decompress costs only the
     parse + sqrt."""
-    hits = [_CACHE.get(b) for b in bufs] if _CACHE else [None] * len(bufs)
+    hits = ([_CACHE.get(b) for b in bufs]
+            if _CACHE and _cache_enabled() else [None] * len(bufs))
     miss_idx = [i for i, h in enumerate(hits) if h is None]
     if not miss_idx:
         return hits

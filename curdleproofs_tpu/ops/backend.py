@@ -40,33 +40,36 @@ class HybridBackend(Backend):
         self._host = HostBackend()
         self.device_msm_threshold = device_msm_threshold
 
-    def msm(self, points, scalars):
-        n = len(points)
-        if n >= self.device_msm_threshold:
-            from .msm_device import _BASES_CACHE, msm_device
+    def _route_to_device(self, points) -> bool:
+        """One routing decision for msm AND msm_raw (tune it in one place).
 
-            hit = _BASES_CACHE.get(id(points))
-            resident = hit is not None and hit[0] is points
-            # fresh bases pay the native Montgomery-affine export + a
-            # 96 B/point upload over the slow link, which the device
-            # out-earns from ~2^17; resident bases win from the 2^16
-            # crossover
-            if resident or n >= (1 << 17):
-                self.last_msm_engine = "device"
-                return msm_device(points, scalars)
+        Fresh bases pay the native Montgomery-affine export + a 96 B/point
+        upload over the slow link, which the device out-earns from ~2^17;
+        resident bases win from the 2^16 crossover."""
+        n = len(points)
+        if n < self.device_msm_threshold:
+            return False
+        from .msm_device import _BASES_CACHE
+
+        hit = _BASES_CACHE.get(id(points))
+        resident = hit is not None and hit[0] is points
+        return resident or n >= (1 << 17)
+
+    def msm(self, points, scalars):
+        if self._route_to_device(points):
+            from .msm_device import msm_device
+
+            self.last_msm_engine = "device"
+            return msm_device(points, scalars)
         self.last_msm_engine = "host"
         return self._host.msm(points, scalars)
 
     def msm_raw(self, points, sbytes):
-        n = len(points)
-        if n >= self.device_msm_threshold:
-            from .msm_device import _BASES_CACHE, msm_device
+        if self._route_to_device(points):
+            from .msm_device import msm_device
 
-            hit = _BASES_CACHE.get(id(points))
-            resident = hit is not None and hit[0] is points
-            if resident or n >= (1 << 17):
-                self.last_msm_engine = "device"
-                return msm_device(points, sbytes)
+            self.last_msm_engine = "device"
+            return msm_device(points, sbytes)
         self.last_msm_engine = "host"
         return self._host.msm_raw(points, sbytes)
 

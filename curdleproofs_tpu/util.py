@@ -102,10 +102,12 @@ class FrVec:
                    else len(p) for p in self.parts)
 
     def __add__(self, other) -> "FrVec":
-        return FrVec(*self.parts, other)
+        # nest self (don't spread parts): the new FrVec reuses self's _raw
+        # cache, so a vector accumulated in several relations serialises once
+        return FrVec(self, other)
 
     def __radd__(self, other) -> "FrVec":
-        return FrVec(other, *self.parts)
+        return FrVec(other, self)
 
     def to_raw(self) -> bytes:
         """Canonical 32 B-LE concatenation (cached)."""

@@ -197,14 +197,21 @@ def is_valid_whisk_shuffle_proofs(
     """
     from .parallel.batch_verify import ShuffleInstance, batch_verify
 
+    # tracker unzips stay OUTSIDE the deferred context: the eager path fuses
+    # the subgroup ladder into the decompress call on already-loaded affine
+    # coordinates, which beats deferring (defer = re-serialize + re-load the
+    # points for a separate ladder).  Deferral only wins for the proofs'
+    # scattered small point groups, where ONE context spans the segment.
     instances, proofs = [], []
     for pre, post, proof_bytes in shuffles:
         vec_r, vec_s = _unzip_trackers(pre)
         vec_t, vec_u = _unzip_trackers(post)
-        with deferred_subgroup_checks():
+        instances.append(ShuffleInstance(vec_r, vec_s, vec_t, vec_u, None))
+    with deferred_subgroup_checks():  # ONE ladder for ~90 x B proof points
+        for inst, (_, _, proof_bytes) in zip(instances, shuffles):
             wsp = WhiskShuffleProof.deserialize(proof_bytes, crs.log2_n())
-        instances.append(ShuffleInstance(vec_r, vec_s, vec_t, vec_u, wsp.M))
-        proofs.append(wsp.proof)
+            inst.M = wsp.M
+            proofs.append(wsp.proof)
     return batch_verify(crs, instances, proofs, rng, identify=identify)
 
 

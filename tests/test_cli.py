@@ -15,6 +15,8 @@ ELL = 28
 
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
+    """All shared artifacts (CRS, trackers, round-1 proof) are built HERE so
+    each test runs standalone, in any order."""
     d = tmp_path_factory.mktemp("cli")
     assert main(["crs", "--ell", str(ELL), "-o", str(d / "crs.json")]) == 0
 
@@ -27,14 +29,14 @@ def workdir(tmp_path_factory):
                     "k_r_G": "0x" + g1_to_bytes(rG.mul(k)).hex()})
         ks.append(k)
     (d / "pre.json").write_text(json.dumps(trk))
+    assert main(["shuffle-prove", "--crs", str(d / "crs.json"),
+                 "--pre", str(d / "pre.json"), "--post", str(d / "post.json"),
+                 "--proof", str(d / "p.bin"), "--seed", "7"]) == 0
     return d, trk, ks
 
 
 def test_cli_shuffle_roundtrip(workdir):
     d, _, _ = workdir
-    assert main(["shuffle-prove", "--crs", str(d / "crs.json"),
-                 "--pre", str(d / "pre.json"), "--post", str(d / "post.json"),
-                 "--proof", str(d / "p.bin"), "--seed", "7"]) == 0
     assert main(["shuffle-verify", "--crs", str(d / "crs.json"),
                  "--pre", str(d / "pre.json"), "--post", str(d / "post.json"),
                  "--proof", str(d / "p.bin")]) == 0

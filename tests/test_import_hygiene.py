@@ -7,8 +7,11 @@ batch verification) would hang on `import`.  This pins the fix for the
 module-level jax-array constants that once lived in ops/field.py.
 """
 
+import pathlib
 import subprocess
 import sys
+
+_REPO = str(pathlib.Path(__file__).resolve().parents[1])
 
 _PROBE = """
 import curdleproofs_tpu
@@ -27,6 +30,6 @@ print("clean")
 
 def test_host_imports_do_not_init_device_backend():
     r = subprocess.run([sys.executable, "-c", _PROBE],
-                       capture_output=True, timeout=180, cwd="/root/repo")
+                       capture_output=True, timeout=180, cwd=_REPO)
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert b"clean" in r.stdout
