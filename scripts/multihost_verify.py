@@ -30,8 +30,9 @@ import time
 REPO = pathlib.Path(__file__).resolve().parents[1]
 COORD = "localhost:17717"
 WORLD = 2
-B = 4       # proofs in the batch (2 per process)
-ELL = 28    # smallest protocol size: fast on the shared 1-core host
+# defaults stay small for the shared 1-core host; override for a heavier run
+B = int(os.environ.get("MH_BATCH", "4"))       # proofs (B/WORLD per process)
+ELL = int(os.environ.get("MH_ELL", "28"))
 
 
 def build_batch():
