@@ -340,7 +340,13 @@ def main():
         "batch_verify_proofs_per_s": batch_stats["proofs_per_s"],
         "baseline_hw": "i7-8550U (reference README)",
     }
-    if not args.skip_msm:
+    if not args.skip_msm and backend.name == "host":
+        # the kernel sweep on XLA:CPU would be recorded under a "device_"
+        # key — skip it rather than mislabel (host engine rates are implied
+        # by the protocol numbers; bench_msm_results.jsonl has the real
+        # device-vs-host sweep)
+        extra["device_msm"] = {"skipped": "host-only run (no TPU)"}
+    elif not args.skip_msm:
         try:
             if args.profile:
                 import jax
@@ -354,10 +360,15 @@ def main():
         except Exception as e:  # no TPU available etc.
             extra["device_msm_error"] = repr(e)[:200]
     if not args.skip_sol:
-        try:
-            extra["speed_of_light"] = bench_speed_of_light()
-        except Exception as e:
-            extra["speed_of_light_error"] = repr(e)[:200]
+        if backend.name == "host":
+            # the SoL accounting measures the marginal Pallas fq-mul rate;
+            # without a real chip there is nothing to measure
+            extra["speed_of_light"] = {"skipped": "host-only run (no TPU)"}
+        else:
+            try:
+                extra["speed_of_light"] = bench_speed_of_light()
+            except Exception as e:
+                extra["speed_of_light_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": f"prove_ell{args.ell}_ms",
