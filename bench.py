@@ -75,7 +75,12 @@ def _pick_backend():
     from curdleproofs_tpu.backend import set_backend
 
     forced = os.environ.get("CURDLEPROOFS_BACKEND")
-    if forced != "host" and _tpu_reachable():
+    reason = None
+    if forced == "host":
+        reason = "CURDLEPROOFS_BACKEND=host"
+    elif not _tpu_reachable():
+        reason = "TPU unreachable within the probe deadline"
+    if reason is None:
         from curdleproofs_tpu.ops.backend import auto_backend
 
         b = auto_backend()
@@ -86,6 +91,7 @@ def _pick_backend():
         from curdleproofs_tpu.backend import HostBackend
 
         b = HostBackend()
+        b.host_reason = reason  # recorded in the artifact: WHY host-only
     set_backend(b)
     return b
 
@@ -332,6 +338,8 @@ def main():
     extra = {
         "ell": args.ell,
         "backend": backend.name,
+        **({"backend_reason": backend.host_reason}
+           if hasattr(backend, "host_reason") else {}),
         "verify_ms": round(verify_ms, 2),
         "verify_vs_baseline": round(base_verify / verify_ms, 3),
         "shuffle_ms": round(shuffle_ms, 2),
