@@ -69,7 +69,15 @@ def test_device_msm_stream_matches_host():
     stream = DeviceMsmStream(64)
     stream.add(pts[:100], ss[:100])   # oversized: splits into 64 + 36
     stream.add(pts[100:], ss[100:])
-    assert stream.result() == HostBackend().msm(pts, ss)
+    expect = HostBackend().msm(pts, ss)
+    assert stream.result() == expect
+
+    # raw 32B-LE scalars (the fused-dedup layout) through the same splits
+    sb = b"".join(s.to_bytes(32, "little") for s in ss)
+    stream2 = DeviceMsmStream(64)
+    stream2.add(pts[:100], sb[: 100 * 32])
+    stream2.add(pts[100:], sb[100 * 32 :])
+    assert stream2.result() == expect
 
 
 @pytest.mark.slow
