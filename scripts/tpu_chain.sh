@@ -30,22 +30,26 @@ done
 touch /tmp/tpu_alive
 echo "TUNNEL ALIVE $(date) — starting chain"
 
+# Stage order = value density: the hybrid protocol bench is the round's
+# headline artifact and runs right after the cache warm; the long sweeps
+# run last so a late tunnel recovery still lands the important numbers
+# before any round-end process needs the chip.
 echo "=== warm_cache ==="
 timeout 3600 python scripts/warm_cache.py
+
+echo "=== full bench (hybrid backend) ==="
+timeout 7200 python bench.py > bench_hybrid_r03.json 2>> $LOG || true
+tail -c 2000 bench_hybrid_r03.json
+
+echo "=== cold start probe ==="
+timeout 3600 python scripts/cold_start_probe.py > bench_cold_start.json 2>> $LOG || true
+cat bench_cold_start.json
 
 echo "=== msm sweep 14 16 (mixed-add + compressed uploads) ==="
 timeout 5400 python scripts/msm_sweep.py 14 16
 
 echo "=== msm sweep 18 20 ==="
 timeout 9000 python scripts/msm_sweep.py 18 20
-
-echo "=== cold start probe ==="
-timeout 3600 python scripts/cold_start_probe.py > bench_cold_start.json 2>> $LOG || true
-cat bench_cold_start.json
-
-echo "=== full bench (hybrid backend) ==="
-timeout 7200 python bench.py > bench_hybrid_r03.json 2>> $LOG || true
-tail -c 2000 bench_hybrid_r03.json
 
 echo "CHAIN DONE $(date)"
 touch /tmp/tpu_chain_done
