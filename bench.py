@@ -311,7 +311,8 @@ def bench_speed_of_light():
                                   round(n / add_spread[0] / 1e6, 2)],
         "g1_add_pct_of_sol": round(100 * add_rate / (vpu_ops / 29000), 1),
         "estimator": "median of 5 two-point marginals",
-        "sol_model": "1.71e12 int32 VPU lane-ops/s (8x128 @ 1.67GHz); fq_mul~2300, g1_add~29000 ops",
+        "sol_model": ("1.71e12 int32 VPU lane-ops/s (8x128 @ 1.67GHz); "
+                      "fq_mul~2300, g1_add~29000 ops"),
     }
 
 

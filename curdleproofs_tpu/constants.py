@@ -7,7 +7,7 @@ reference (`/root/reference/Cargo.toml:25`); protocol constants match
 """
 
 # --- Base field Fq (381-bit prime) ---
-Q = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+Q = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB  # noqa: long hex literal
 
 # --- Scalar field Fr (255-bit prime) ---
 R = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
@@ -19,8 +19,8 @@ CURVE_B = 4
 COFACTOR = 0x396C8C005555E1568C00AAAB0000AAAB
 
 # G1 generator (affine)
-G1_GENERATOR_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
-G1_GENERATOR_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1
+G1_GENERATOR_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB  # noqa: long hex literal
+G1_GENERATOR_Y = 0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1  # noqa: long hex literal
 
 # Montgomery parameters arkworks uses internally.  We do canonical-value math, but
 # `Fr::rand`/`Fq::rand` in arkworks interpret the raw sampled bigint AS the Montgomery

@@ -236,5 +236,13 @@ class CurdleproofsProof:
         same_perm, buf = SamePermutationProof.deserialize(buf, log2_n)
         same_scalar, buf = SameScalarProof.deserialize(buf)
         same_msm, buf = SameMultiscalarProof.deserialize(buf, log2_n)
+        if len(buf) != 0:
+            # the reference's whisk boundary enforces exact sizes by array
+            # type (/root/reference/src/whisk.rs:21-25); trailing bytes are
+            # a consensus-surface divergence, reject them here
+            from .host.serde import SerializationError
+
+            raise SerializationError(
+                f"{len(buf)} trailing bytes after proof")
         return CurdleproofsProof(A, cm_T, cm_U, R_pt, S_pt, same_perm,
                                  same_scalar, same_msm)

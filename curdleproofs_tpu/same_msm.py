@@ -19,7 +19,7 @@ from .host.serde import (
 from .msm_accumulator import MsmAccumulator
 from .transcript import Transcript
 from .util import (
-    FrVec, generate_blinders, msm, scaled_verification_products,
+    FrVec, generate_blinders, scaled_verification_products,
     verification_scalar_products,
 )
 

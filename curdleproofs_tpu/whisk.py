@@ -7,8 +7,8 @@ Schnorr-style DLEQ tracker opening proofs.
 from __future__ import annotations
 
 from .constants import (
-    FIELD_ELEMENT_SIZE, G1POINT_SIZE, N_BLINDERS, R, TRACKER_PROOF_SIZE,
-    WHISK_ELL, WHISK_SHUFFLE_PROOF_SIZE,
+    FIELD_ELEMENT_SIZE, G1POINT_SIZE, R, TRACKER_PROOF_SIZE, WHISK_ELL,
+    WHISK_SHUFFLE_PROOF_SIZE,
 )
 from .crs import CurdleproofsCrs
 from .curdleproofs import CurdleproofsProof
@@ -31,7 +31,7 @@ __all__ = [
     "to_bytes_g1affine", "from_bytes_g1affine", "to_bytes_fr", "from_bytes_fr",
     "g1_generator", "bls_g1_scalar_multiply", "rand_scalar",
     "FIELD_ELEMENT_SIZE", "G1POINT_SIZE", "WHISK_SHUFFLE_PROOF_SIZE",
-    "TRACKER_PROOF_SIZE",
+    "TRACKER_PROOF_SIZE", "WHISK_ELL", "whisk_shuffle_proof_size",
 ]
 
 
@@ -103,12 +103,35 @@ class TrackerProof:
         self.s = s
 
     def serialize(self) -> bytes:
-        return g1_to_bytes(self.A) + g1_to_bytes(self.B) + fr_to_bytes(self.s)
+        out = g1_to_bytes(self.A) + g1_to_bytes(self.B) + fr_to_bytes(self.s)
+        assert len(out) == TRACKER_PROOF_SIZE
+        return out
 
     @staticmethod
     def deserialize(buf: bytes) -> "TrackerProof":
+        # fixed 128-byte boundary, exact — matches the reference's
+        # `TrackerProofBytes = [u8; 128]` (/root/reference/src/whisk.rs:25,34)
+        if len(buf) != TRACKER_PROOF_SIZE:
+            from .host.serde import SerializationError
+
+            raise SerializationError(
+                f"tracker proof must be exactly {TRACKER_PROOF_SIZE} bytes, "
+                f"got {len(buf)}")
         return TrackerProof(g1_from_bytes(buf[:48]), g1_from_bytes(buf[48:96]),
                             fr_from_bytes(buf[96:128]))
+
+
+def whisk_shuffle_proof_size(log2_n: int) -> int:
+    """Exact byte size of a serialized whisk shuffle proof at a given IPA
+    depth: 48 (M) + 1088 fixed + 480 per folding round (the 4·log2_n IPA
+    points + 6·log2_n sameMsm points, 48 B each).  Cross-checks the
+    reference's published sizes (/root/reference/README.md:47-49: 3968/
+    4448/4928 at log2_n = 6/7/8) and WHISK_SHUFFLE_PROOF_SIZE = 4496 at
+    the whisk config (log2_n = 7)."""
+    return 48 + 1088 + 480 * log2_n
+
+
+assert whisk_shuffle_proof_size(7) == WHISK_SHUFFLE_PROOF_SIZE
 
 
 class WhiskShuffleProof:
@@ -119,10 +142,24 @@ class WhiskShuffleProof:
         self.proof = proof
 
     def serialize(self) -> bytes:
-        return g1_to_bytes(self.M) + self.proof.serialize()
+        out = g1_to_bytes(self.M) + self.proof.serialize()
+        assert len(out) == whisk_shuffle_proof_size(
+            len(self.proof.same_multiscalar_proof.vec_L_A))
+        return out
 
     @staticmethod
     def deserialize(buf: bytes, log2_n: int) -> "WhiskShuffleProof":
+        # exact fixed size per log2_n — at the whisk config (ELL=124,
+        # log2_n=7) this is WHISK_SHUFFLE_PROOF_SIZE = 4496, matching the
+        # reference's `WhiskShuffleProofBytes = [u8; 4496]`
+        # (/root/reference/src/whisk.rs:23,31); trailing bytes rejected.
+        want = whisk_shuffle_proof_size(log2_n)
+        if len(buf) != want:
+            from .host.serde import SerializationError
+
+            raise SerializationError(
+                f"whisk shuffle proof must be exactly {want} bytes for "
+                f"log2_n={log2_n}, got {len(buf)}")
         M = g1_from_bytes(buf[:48])
         proof = CurdleproofsProof.deserialize(buf[48:], log2_n)
         return WhiskShuffleProof(M, proof)

@@ -14,7 +14,6 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).parents[1]))
 
-from curdleproofs_tpu.constants import N_BLINDERS, R
 from curdleproofs_tpu.curdleproofs import generate_crs
 from curdleproofs_tpu.host.g1 import GENERATOR
 from curdleproofs_tpu.host.rng import StdRng

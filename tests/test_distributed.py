@@ -15,7 +15,7 @@ from curdleproofs_tpu.parallel.distributed import (
     process_slice,
 )
 from curdleproofs_tpu.util import (
-    generate_blinders, get_permutation, msm, shuffle_permute_and_commit_input,
+    shuffle_permute_and_commit_input,
 )
 
 

@@ -5,13 +5,12 @@ import random
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from curdleproofs_tpu.constants import Q
 from curdleproofs_tpu.host.g1 import G1, GENERATOR
 from curdleproofs_tpu.ops.field import FQ
 from curdleproofs_tpu.ops.g1_ops import (
-    g1_add, g1_double, g1_infinity, g1_select, points_from_device,
+    g1_add, g1_double, g1_select, points_from_device,
     points_to_device,
 )
 from curdleproofs_tpu.ops.limbs import FQ_LIMBS, ints_to_limbs, limbs_to_ints

@@ -2,11 +2,9 @@
 
 import random
 
-import jax.numpy as jnp
-
 from curdleproofs_tpu.backend import HostBackend, use_backend
 from curdleproofs_tpu.constants import R
-from curdleproofs_tpu.host.g1 import G1, GENERATOR
+from curdleproofs_tpu.host.g1 import G1
 from curdleproofs_tpu.host.rng import StdRng
 from curdleproofs_tpu.ops.backend import TpuBackend
 

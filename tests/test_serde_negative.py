@@ -110,3 +110,30 @@ def test_whisk_proof_deserialize_rejects_bad_sizes():
     WhiskShuffleProof.deserialize(wrapped, crs.log2_n())
     with pytest.raises((SerializationError, ValueError, IndexError)):
         WhiskShuffleProof.deserialize(wrapped[:-4], crs.log2_n())
+
+
+def test_proof_deserialize_rejects_trailing_bytes():
+    # /root/reference/src/whisk.rs:21-25 enforces exact sizes by array type;
+    # oversized buffers are a consensus-surface divergence and must fail.
+    crs, blob = _proof_bytes()
+    with pytest.raises(SerializationError):
+        CurdleproofsProof.deserialize(blob + b"\x00", crs.log2_n())
+
+
+def test_whisk_boundary_exact_sizes():
+    from curdleproofs_tpu.constants import TRACKER_PROOF_SIZE
+    from curdleproofs_tpu.whisk import TrackerProof, whisk_shuffle_proof_size
+
+    crs, blob = _proof_bytes()
+    wrapped = g1_to_bytes(GENERATOR) + blob
+    assert len(wrapped) == whisk_shuffle_proof_size(crs.log2_n())
+    for bad in (wrapped + b"\x00", wrapped[:-1], b""):
+        with pytest.raises(SerializationError):
+            WhiskShuffleProof.deserialize(bad, crs.log2_n())
+
+    tracker_blob = (g1_to_bytes(GENERATOR) * 2) + (1).to_bytes(32, "little")
+    assert len(tracker_blob) == TRACKER_PROOF_SIZE
+    TrackerProof.deserialize(tracker_blob)
+    for bad in (tracker_blob + b"\x00", tracker_blob[:-1], b""):
+        with pytest.raises(SerializationError):
+            TrackerProof.deserialize(bad)

@@ -4,7 +4,7 @@ whisk two-block consensus lifecycle (`whisk.rs:460-607`), at reduced sizes.
 
 import pytest
 
-from curdleproofs_tpu.constants import N_BLINDERS, R
+from curdleproofs_tpu.constants import N_BLINDERS
 from curdleproofs_tpu.crs import CurdleproofsCrs
 from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
 from curdleproofs_tpu.errors import VerificationError
