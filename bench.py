@@ -96,6 +96,37 @@ def _pick_backend():
     return b
 
 
+def _timed(fn, repeats: int) -> dict:
+    """Criterion-style discipline on a noisy platform: one untimed warm-up,
+    `repeats` timed runs, report the MEDIAN as the headline with the full
+    spread on record (r03 lesson: one contended run doubled a min-of-5
+    number; the median absorbs it and the spread proves it happened)."""
+    fn()  # warm-up
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return {
+        "median_ms": ts[len(ts) // 2] * 1e3,
+        "spread_ms": [round(ts[0] * 1e3, 2), round(ts[-1] * 1e3, 2)],
+        "runs": repeats,
+    }
+
+
+def _stream_family_warm() -> bool:
+    """True when the streamed-batch device path cannot hit a compile: its
+    ONE pipeline shape family has an AOT blob (ops/aot.py).  Without the
+    blob a cold process would pay minutes of lowering+compile inside the
+    measured region — the r03 own-goal (337-661 s 'final MSM')."""
+    from curdleproofs_tpu.ops import aot
+    from curdleproofs_tpu.ops.g1_ops import use_pallas
+    from curdleproofs_tpu.ops.msm_device import stream_params, use_madd
+
+    return aot.maybe_load(stream_params(), use_pallas(), use_madd()) is not None
+
+
 def bench_protocol(ell: int, repeats: int, batch: int):
     from curdleproofs_tpu.backend import get_backend
     from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
@@ -118,35 +149,31 @@ def bench_protocol(ell: int, repeats: int, batch: int):
     backend = get_backend()
 
     # --- shuffling (2*ell scalar muls + permute), as in benches/perf.rs:51-58
-    t_sh = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        vec_T = get_permutation(backend.batch_mul(vec_R, k), permutation)
-        vec_U = get_permutation(backend.batch_mul(vec_S, k), permutation)
-        t_sh.append(time.perf_counter() - t0)
+    vec_T = get_permutation(backend.batch_mul(vec_R, k), permutation)
+    vec_U = get_permutation(backend.batch_mul(vec_S, k), permutation)
+
+    def do_shuffle():
+        get_permutation(backend.batch_mul(vec_R, k), permutation)
+        get_permutation(backend.batch_mul(vec_S, k), permutation)
+
+    sh = _timed(do_shuffle, repeats)
 
     sigma = get_permutation(list(range(ell)), permutation)
     M = msm(crs.vec_G, sigma).add(msm(crs.vec_H, vec_r_m))
 
     # --- prover
-    t_pr = []
-    proof = None
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        proof = CurdleproofsProof.new(crs, vec_R, vec_S, vec_T, vec_U, M,
-                                      permutation, k, vec_r_m, rng)
-        t_pr.append(time.perf_counter() - t0)
+    pr = _timed(lambda: CurdleproofsProof.new(
+        crs, vec_R, vec_S, vec_T, vec_U, M, permutation, k, vec_r_m, rng),
+        repeats)
+    proof = CurdleproofsProof.new(crs, vec_R, vec_S, vec_T, vec_U, M,
+                                  permutation, k, vec_r_m, rng)
 
     # --- verifier (pure verify on parsed objects, as in benches/perf.rs:99-105)
-    t_vf = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        proof.verify(crs, vec_R, vec_S, vec_T, vec_U, M, rng)
-        t_vf.append(time.perf_counter() - t0)
+    vf = _timed(lambda: proof.verify(crs, vec_R, vec_S, vec_T, vec_U, M, rng),
+                repeats)
 
     # --- batched verification (BASELINE config 5): B independent proofs,
-    # one shared accumulator, ONE deduped MSM. The per-proof host work
-    # (transcript replay + scalar math) and the final MSM are timed apart.
+    # one shared accumulator, ONE deduped MSM.
     from curdleproofs_tpu.parallel.batch_verify import (
         ShuffleInstance, batch_verify,
     )
@@ -167,17 +194,38 @@ def bench_protocol(ell: int, repeats: int, batch: int):
                                             p_i, k_i, rb_i, rng))
     build_s = time.perf_counter() - t0
 
-    # device present -> stream chunks of proofs through the device Pippenger,
-    # overlapping transcript replays with the device MSM; host-only -> one
-    # deduped host MSM
-    use_stream = backend.name in ("hybrid", "tpu")
-    t0 = time.perf_counter()
-    assert batch_verify(crs, instances, proofs, rng,
-                        stream_chunk=64 if use_stream else None)
-    t_batch = time.perf_counter() - t0
+    # Both engines are measured and BOTH go in the artifact; the headline is
+    # the winner (r03 recorded a forced-device path 28x below the repo's own
+    # host capability — never again).  The device path runs only when it
+    # cannot hit a compile (`_stream_family_warm`), and after the host path
+    # so a device surprise can't contaminate the host timing.
+    paths: dict[str, float] = {}
 
-    # split: replay-only (accumulate, no MSM), then the final deduped MSM
-    # through the active backend (hybrid routes this size to the device)
+    t0 = time.perf_counter()
+    assert batch_verify(crs, instances, proofs, rng)
+    paths["host"] = time.perf_counter() - t0
+
+    stream_reason = None
+    if backend.name in ("hybrid", "tpu"):
+        if _stream_family_warm():
+            from curdleproofs_tpu.ops.msm_device import DeviceMsmStream
+
+            warm = DeviceMsmStream()  # absorb blob deserialize + cache load
+            warm.add([vec_R[0]], [1])
+            warm.result()
+            t0 = time.perf_counter()
+            assert batch_verify(crs, instances, proofs, rng, stream_chunk=64)
+            paths["streamed-device"] = time.perf_counter() - t0
+        else:
+            stream_reason = "stream-family AOT blob missing (compile risk)"
+    else:
+        stream_reason = "no device attached"
+
+    best = min(paths, key=paths.get)
+    t_batch = paths[best]
+
+    # split diagnostics: replay-only (accumulate, no MSM), then the final
+    # deduped MSM through the active backend's routing
     acc = MsmAccumulator()
     t0 = time.perf_counter()
     for inst, pf in zip(instances, proofs):
@@ -196,14 +244,16 @@ def bench_protocol(ell: int, repeats: int, batch: int):
         "B": batch,
         "proofs_per_s": round(batch / t_batch, 1),
         "per_proof_ms": round(t_batch / batch * 1e3, 2),
-        "verify_path": "streamed-device" if use_stream else "host",
+        "verify_path": best,
+        "paths_s": {k: round(v, 2) for k, v in paths.items()},
+        **({"stream_skipped": stream_reason} if stream_reason else {}),
         "final_msm_engine": getattr(backend, "last_msm_engine", backend.name),
         "replay_ms_per_proof": round(replay_s / batch * 1e3, 2),
         "final_msm_bases": len(bases),
         "final_msm_s": round(msm_s, 2),
         "build_s": round(build_s, 1),
     }
-    return (min(t_sh) * 1e3, min(t_pr) * 1e3, min(t_vf) * 1e3, batch_stats)
+    return sh, pr, vf, batch_stats
 
 
 def bench_msm_throughput(log_n: int):
@@ -331,8 +381,10 @@ def main():
     _enable_compile_cache()
     backend = _pick_backend()
 
-    shuffle_ms, prove_ms, verify_ms, batch_stats = bench_protocol(
-        args.ell, args.repeats, args.batch)
+    sh, pr, vf, batch_stats = bench_protocol(args.ell, args.repeats,
+                                             args.batch)
+    shuffle_ms, prove_ms, verify_ms = (sh["median_ms"], pr["median_ms"],
+                                       vf["median_ms"])
     base_prove, base_verify, base_shuffle = BASELINES_MS.get(
         args.ell, BASELINES_MS[252])
 
@@ -341,10 +393,14 @@ def main():
         "backend": backend.name,
         **({"backend_reason": backend.host_reason}
            if hasattr(backend, "host_reason") else {}),
+        "estimator": f"median of {pr['runs']} (1 warm-up); spreads = min/max",
+        "prove_spread_ms": pr["spread_ms"],
         "verify_ms": round(verify_ms, 2),
         "verify_vs_baseline": round(base_verify / verify_ms, 3),
+        "verify_spread_ms": vf["spread_ms"],
         "shuffle_ms": round(shuffle_ms, 2),
         "shuffle_vs_baseline": round(base_shuffle / shuffle_ms, 3),
+        "shuffle_spread_ms": sh["spread_ms"],
         "batch_verify": batch_stats,
         "batch_verify_proofs_per_s": batch_stats["proofs_per_s"],
         "baseline_hw": "i7-8550U (reference README)",

