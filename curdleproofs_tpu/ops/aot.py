@@ -123,6 +123,69 @@ def _load_blob(path: pathlib.Path):
     return jax.jit(exp.call)
 
 
+def _ingest_blob_path(n: int, pallas: bool) -> pathlib.Path:
+    import jax
+
+    plat = jax.default_backend()
+    name = (f"ingest_s{_SCHEMA}_{_code_hash()}_jax{jax.__version__}_{plat}"
+            f"_n{n}_p{int(pallas)}.bin")
+    return aot_dir() / name
+
+
+def export_ingest(n: int, pallas: bool, quiet: bool = False) -> pathlib.Path:
+    """Trace+lower+serialize the compressed-base ingest (sqrt-chain y
+    reconstruction, `msm_device._ingest_compressed`) for one padded family.
+
+    The ingest is the other jit a cold MSM pays besides the pipeline
+    (r03 cold probe: 46 s of the 455 s cold start were the 2^16 base
+    upload, dominated by ingest lowering+compile)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .msm_device import _ingest_compressed
+
+    def fn(pxp, meta):
+        return _ingest_compressed(pxp, meta, pallas=pallas)
+
+    u32 = jnp.uint32
+    exp = jax.export.export(
+        jax.jit(fn),
+        disabled_checks=[jax.export.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call")],
+    )(jax.ShapeDtypeStruct((12, n), u32), jax.ShapeDtypeStruct((n,), u32))
+    path = _ingest_blob_path(n, pallas)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(exp.serialize())
+    tmp.replace(path)
+
+    loaded = _load_blob(path)
+    jax.block_until_ready(loaded(np.zeros((12, n), np.uint32),
+                                 np.zeros((n,), np.uint32)))
+    if not quiet:
+        print(f"exported {path.name} ({path.stat().st_size / 1e6:.1f} MB)",
+              flush=True)
+    return path
+
+
+def maybe_load_ingest(n: int, pallas: bool):
+    """Compiled ingest for this family if a blob exists, else None."""
+    if not enabled():
+        return None
+    key = str(_ingest_blob_path(n, pallas))
+    if key in _LOADED:
+        return _LOADED[key]
+    fn = None
+    if pathlib.Path(key).is_file():
+        try:
+            fn = _load_blob(pathlib.Path(key))
+        except Exception:
+            fn = None
+    _LOADED[key] = fn
+    return fn
+
+
 # in-memory cache: (path) -> compiled callable or None (negative hit)
 _LOADED: dict[str, object] = {}
 

@@ -259,9 +259,16 @@ class DeviceBases:
             assert n_pad >= len(points) and pad_n(n_pad) == n_pad
             self.n = n_pad
         if native.available() and points and use_compressed_upload():
+            from . import aot
+
             px, meta = native.export_mont_x(points, self.n)
-            self.ext_px, self.ext_py, self.ext_zb = _ingest_compressed(
-                jnp.asarray(px), jnp.asarray(meta), pallas=use_pallas())
+            ing = aot.maybe_load_ingest(self.n, use_pallas())
+            if ing is not None:  # AOT blob: skips the ingest lowering
+                self.ext_px, self.ext_py, self.ext_zb = ing(
+                    jnp.asarray(px), jnp.asarray(meta))
+            else:
+                self.ext_px, self.ext_py, self.ext_zb = _ingest_compressed(
+                    jnp.asarray(px), jnp.asarray(meta), pallas=use_pallas())
         elif native.available() and points:
             px, py, zb = native.export_mont_affine(points, self.n)
             self.ext_px, self.ext_py, self.ext_zb = _ingest_packed_mont(

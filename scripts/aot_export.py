@@ -31,6 +31,7 @@ def main() -> None:
         params = pick_params(1 << logn)
         t0 = time.perf_counter()
         aot.export_family(params, pallas, madd)
+        aot.export_ingest(params.n, pallas)
         print(f"2^{logn} ({params}) in {time.perf_counter() - t0:.1f}s",
               flush=True)
 
