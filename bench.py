@@ -205,17 +205,21 @@ def bench_protocol(ell: int, repeats: int, batch: int):
     assert batch_verify(crs, instances, proofs, rng)
     paths["host"] = time.perf_counter() - t0
 
-    stream_reason = None
+    stream_reason = split_f = None
     if backend.name in ("hybrid", "tpu"):
         if _stream_family_warm():
             from curdleproofs_tpu.ops.msm_device import DeviceMsmStream
+            from curdleproofs_tpu.parallel.batch_verify import (
+                plan_split_fraction,
+            )
 
+            split_f = round(plan_split_fraction(), 3)
             warm = DeviceMsmStream()  # absorb blob deserialize + cache load
             warm.add([vec_R[0]], [1])
             warm.result()
             t0 = time.perf_counter()
             assert batch_verify(crs, instances, proofs, rng, stream_chunk=64)
-            paths["streamed-device"] = time.perf_counter() - t0
+            paths["streamed-split"] = time.perf_counter() - t0
         else:
             stream_reason = "stream-family AOT blob missing (compile risk)"
     else:
@@ -247,6 +251,7 @@ def bench_protocol(ell: int, repeats: int, batch: int):
         "verify_path": best,
         "paths_s": {k: round(v, 2) for k, v in paths.items()},
         **({"stream_skipped": stream_reason} if stream_reason else {}),
+        **({"device_split_fraction": split_f} if split_f is not None else {}),
         "final_msm_engine": getattr(backend, "last_msm_engine", backend.name),
         "replay_ms_per_proof": round(replay_s / batch * 1e3, 2),
         "final_msm_bases": len(bases),

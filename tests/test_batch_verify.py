@@ -85,3 +85,40 @@ def test_batch_verify_sharded_mesh(batch):
     crs, instances, proofs, rng = batch
     mesh = make_msm_mesh(8)
     assert batch_verify(crs, instances, proofs, rng, mesh=mesh) is True
+
+
+@pytest.mark.parametrize("rates,expect_f", [
+    ({"host_ms": 1000.0, "device_warm_ms": 1.0, "fresh_prep_ms": 1.0}, 1.0),
+    ({"host_ms": 1.0, "device_warm_ms": 500.0, "fresh_prep_ms": 500.0}, 0.0),
+])
+def test_streamed_split_extremes(batch, tmp_path, monkeypatch, rates,
+                                 expect_f):
+    """The measured cost model drives the device/host split: an all-device
+    table and an all-host table both verify correctly (and reject tampering),
+    and plan_split_fraction lands at the expected extreme."""
+    import json
+
+    import jax
+
+    from curdleproofs_tpu.ops import msm_tune
+    from curdleproofs_tpu.ops.msm_device import stream_params
+    from curdleproofs_tpu.parallel.batch_verify import plan_split_fraction
+
+    path = tmp_path / "tune.json"
+    path.write_text(json.dumps({jax.default_backend(): {
+        str(stream_params().n): {"c": stream_params().c, **rates}}}))
+    monkeypatch.setenv("CURDLEPROOFS_TUNE", str(path))
+    msm_tune._load_raw.cache_clear()
+    try:
+        f = plan_split_fraction()
+        assert abs(f - expect_f) < 0.01, f
+        crs, instances, proofs, rng = batch
+        assert batch_verify(crs, instances, proofs, rng,
+                            stream_chunk=2) is True
+        bad = ShuffleInstance(instances[1].vec_S, instances[1].vec_R,
+                              instances[1].vec_T, instances[1].vec_U,
+                              instances[1].M)
+        assert batch_verify(crs, [instances[0], bad, instances[2]], proofs,
+                            rng, stream_chunk=2) is False
+    finally:
+        msm_tune._load_raw.cache_clear()
