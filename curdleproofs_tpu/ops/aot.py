@@ -110,9 +110,13 @@ def export_family(params, pallas: bool, madd: bool,
     loaded = _load_blob(path)
     args = [np.zeros(a.shape, a.dtype) for a in _abstract_args(params)]
     np.asarray(loaded(*args))
+    # exec tier: pickle the compiled executable of the deserialized module
+    # (lowering exp.call is trivial, the compile just hit the cache above)
+    got_exec = _export_exec(loaded, _abstract_args(params), path)
     if not quiet:
         size = path.stat().st_size
-        print(f"exported {path.name} ({size / 1e6:.1f} MB)", flush=True)
+        print(f"exported {path.name} ({size / 1e6:.1f} MB, "
+              f"exec={'yes' if got_exec else 'no'})", flush=True)
     return path
 
 
@@ -121,6 +125,58 @@ def _load_blob(path: pathlib.Path):
 
     exp = jax.export.deserialize(path.read_bytes())
     return jax.jit(exp.call)
+
+
+# --------------------------------------------------------------------------
+# compiled-executable tier: skips XLA compilation entirely at load
+# --------------------------------------------------------------------------
+# The StableHLO blobs kill the per-process LOWERING cost; the deserialized
+# module must still be XLA-compiled (persistent-cache-accelerated, but the
+# r04 cold probe measured ~50 s of retrieval+compile on the tunnel).  The
+# exec tier pickles the compiled PJRT executable itself
+# (jax.experimental.serialize_executable), so a cold process pays only
+# deserialize+load — keyed by the same code hash + jax version + platform.
+
+def _exec_twin(path: pathlib.Path) -> pathlib.Path:
+    return path.with_suffix(".exec")
+
+
+def _export_exec(fn, abstract_args, blob_path: pathlib.Path) -> bool:
+    """Compile fn at the abstract args and pickle the executable next to
+    the StableHLO blob; best-effort (False when unsupported)."""
+    import pickle
+
+    import jax
+
+    try:
+        from jax.experimental import serialize_executable as se
+
+        compiled = jax.jit(fn).lower(*abstract_args).compile()
+        payload, in_tree, out_tree = se.serialize(compiled)
+        blob = pickle.dumps((payload, in_tree, out_tree))
+    except Exception:
+        return False
+    tmp = _exec_twin(blob_path).with_suffix(".exec.tmp")
+    tmp.write_bytes(blob)
+    tmp.replace(_exec_twin(blob_path))
+    return True
+
+
+def _load_exec(blob_path: pathlib.Path):
+    """Compiled executable for a family if its exec twin exists, else None."""
+    import pickle
+
+    p = _exec_twin(blob_path)
+    if not p.is_file():
+        return None
+    try:
+        from jax.experimental import serialize_executable as se
+
+        payload, in_tree, out_tree = pickle.loads(p.read_bytes())
+        compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+        return lambda *args: compiled(*args)
+    except Exception:  # runtime drift etc.: fall back to the StableHLO tier
+        return None
 
 
 def _ingest_blob_path(n: int, pallas: bool) -> pathlib.Path:
@@ -163,9 +219,12 @@ def export_ingest(n: int, pallas: bool, quiet: bool = False) -> pathlib.Path:
     loaded = _load_blob(path)
     jax.block_until_ready(loaded(np.zeros((12, n), np.uint32),
                                  np.zeros((n,), np.uint32)))
+    got_exec = _export_exec(
+        loaded, (jax.ShapeDtypeStruct((12, n), jnp.uint32),
+                 jax.ShapeDtypeStruct((n,), jnp.uint32)), path)
     if not quiet:
-        print(f"exported {path.name} ({path.stat().st_size / 1e6:.1f} MB)",
-              flush=True)
+        print(f"exported {path.name} ({path.stat().st_size / 1e6:.1f} MB, "
+              f"exec={'yes' if got_exec else 'no'})", flush=True)
     return path
 
 
@@ -176,8 +235,8 @@ def maybe_load_ingest(n: int, pallas: bool):
     key = str(_ingest_blob_path(n, pallas))
     if key in _LOADED:
         return _LOADED[key]
-    fn = None
-    if pathlib.Path(key).is_file():
+    fn = _load_exec(pathlib.Path(key))
+    if fn is None and pathlib.Path(key).is_file():
         try:
             fn = _load_blob(pathlib.Path(key))
         except Exception:
@@ -199,8 +258,8 @@ def maybe_load(params, pallas: bool, madd: bool):
     key = str(path)
     if key in _LOADED:
         return _LOADED[key]
-    fn = None
-    if path.is_file():
+    fn = _load_exec(path)  # exec tier first: no XLA compile at all
+    if fn is None and path.is_file():
         try:
             fn = _load_blob(path)
         except Exception:  # stale/corrupt blob: fall back silently

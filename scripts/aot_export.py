@@ -29,6 +29,14 @@ def main() -> None:
     pallas, madd = use_pallas(), use_madd()
     for logn in logns:
         params = pick_params(1 << logn)
+        have_exec = (
+            aot._load_exec(aot._blob_path(params, pallas, madd)) is not None
+            and aot._load_exec(aot._ingest_blob_path(params.n, pallas))
+            is not None)
+        if have_exec and "--force" not in sys.argv:
+            print(f"2^{logn} ({params}): blobs+exec current, skipped",
+                  flush=True)
+            continue
         t0 = time.perf_counter()
         aot.export_family(params, pallas, madd)
         aot.export_ingest(params.n, pallas)

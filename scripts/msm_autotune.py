@@ -58,10 +58,13 @@ def main() -> None:
         host_ms = min(t1 - t0, time.perf_counter() - t1) * 1e3
 
         # fresh-base prep: export + upload + sqrt ingest, synced.  WARM
-        # number (second construction): the first pays the ingest-jit
-        # lowering+compile, which a production process pays once — routing
-        # must reflect the steady state, not the cold start.
-        DeviceBases(pts)
+        # number (second construction, BOTH synced): the first pays the
+        # ingest-jit lowering+compile and any early-process tunnel stall —
+        # without its own sync those drain inside the second, timed,
+        # construction (the r04 2^10 row measured a 985 s 'prep' that was
+        # really the unsynced warm-up's backlog).
+        warm0 = DeviceBases(pts)
+        np.asarray(warm0.ext_zb[:1])
         t0 = time.perf_counter()
         bases = DeviceBases(pts)
         np.asarray(bases.ext_zb[:1])
