@@ -46,6 +46,13 @@ def main() -> None:
     base = [rng.rand_g1() for _ in range(4096)]
     pts = [base[i % len(base)] for i in range(n)]
     ss = [rnd.randrange(R) for _ in range(n)]
+    t_gen = time.perf_counter()
+    # first device touch on its own clock: the tunnel's first operation of
+    # a process can stall for minutes (platform weather, not our code)
+    import jax.numpy as jnp
+
+    np.asarray(jnp.zeros((8,), jnp.uint32) + 1)
+    t_touch = time.perf_counter()
     bases = prepare_bases(pts)
     np.asarray(bases.ext_zb)  # sync the upload
     t_up = time.perf_counter()
@@ -64,8 +71,10 @@ def main() -> None:
         "logn": logn,
         "aot": bool(aot_hit),
         "init_s": round(t_init - t_start, 1),
-        "upload_s": round(t_up - t_init, 1),
-        "first_msm_s": round(t_first - t_up, 1),
+        "host_gen_s": round(t_gen - t_init, 1),
+        "first_device_touch_s": round(t_touch - t_gen, 1),
+        "upload_s": round(t_up - t_touch, 1),
+        "first_msm_s": round(t_first - t_up, 2),
         "second_msm_s": round(t_second - t_first, 2),
         "total_cold_s": round(t_first - t_start, 1),
         "match": ok,
