@@ -91,32 +91,39 @@ def build_batch():
     return crs, instances, proofs
 
 
-def timed_verify(crs, instances, proofs, seed: int) -> dict:
-    """Replay + final-MSM split for one slice (host engine)."""
+def timed_verify(crs, instances, proofs, seed: int, repeats: int = 3) -> dict:
+    """Replay + final-MSM split for one slice (host engine), min-of-N (the
+    shared box's scheduler noise swings single runs ~20%)."""
     from curdleproofs_tpu.host.rng import StdRng
     from curdleproofs_tpu.msm_accumulator import MsmAccumulator
     from curdleproofs_tpu.util import msm
 
-    rng = StdRng.seed_from_u64(seed)
-    acc = MsmAccumulator()
-    t0 = time.perf_counter()
-    for inst, pf in zip(instances, proofs):
-        pf.verify_with_accumulator(crs, inst.vec_R, inst.vec_S, inst.vec_T,
-                                   inst.vec_U, inst.M, acc, rng)
-    replay_s = time.perf_counter() - t0
-    bases, scalars = acc.dedup_raw()
-    t0 = time.perf_counter()
-    if isinstance(scalars, (bytes, bytearray)):
-        from curdleproofs_tpu.backend import get_backend
+    best_replay = best_msm = float("inf")
+    ok = False
+    n_bases = 0
+    for r in range(repeats):
+        rng = StdRng.seed_from_u64(seed + r)
+        acc = MsmAccumulator()
+        t0 = time.perf_counter()
+        for inst, pf in zip(instances, proofs):
+            pf.verify_with_accumulator(crs, inst.vec_R, inst.vec_S,
+                                       inst.vec_T, inst.vec_U, inst.M, acc,
+                                       rng)
+        best_replay = min(best_replay, time.perf_counter() - t0)
+        bases, scalars = acc.dedup_raw()
+        n_bases = len(bases)
+        t0 = time.perf_counter()
+        if isinstance(scalars, (bytes, bytearray)):
+            from curdleproofs_tpu.backend import get_backend
 
-        ok = get_backend().msm_raw(bases, scalars).is_infinity()
-    else:
-        ok = msm(bases, scalars).is_infinity()
-    msm_s = time.perf_counter() - t0
+            ok = get_backend().msm_raw(bases, scalars).is_infinity()
+        else:
+            ok = msm(bases, scalars).is_infinity()
+        best_msm = min(best_msm, time.perf_counter() - t0)
     return {"ok": bool(ok), "n": len(proofs),
-            "replay_s": round(replay_s, 2), "msm_s": round(msm_s, 2),
-            "msm_bases": len(bases),
-            "wall_s": round(replay_s + msm_s, 2)}
+            "replay_s": round(best_replay, 2), "msm_s": round(best_msm, 2),
+            "msm_bases": n_bases,
+            "wall_s": round(best_replay + best_msm, 2)}
 
 
 def run_slice(a: int, b: int) -> None:
@@ -124,6 +131,39 @@ def run_slice(a: int, b: int) -> None:
     crs, instances, proofs = build_batch()
     out = timed_verify(crs, instances[a:b], proofs[a:b], seed=99)
     print("SLICE " + json.dumps(out), flush=True)
+
+
+def run_scaling() -> None:
+    """Single-host wall and both per-host-isolated walls, measured
+    INTERLEAVED in one process: the box's scheduler/frequency noise swings
+    successive runs ~30-40%, far more than the scaling loss being resolved,
+    so the three measurements must share one noise regime.  Each stage's
+    wall is min-of-3 round-robin passes; each still runs ALONE on the core
+    (the distributed framework adds only the verdict all-gather, measured
+    in the live world=2 run)."""
+    crs, instances, proofs = build_batch()
+    half = B // 2
+    slices = {"single": (0, B), "h0": (0, half), "h1": (half, B)}
+    runs = {k: [] for k in slices}
+    for rep in range(5):
+        for k, (a, b) in slices.items():
+            runs[k].append(timed_verify(crs, instances[a:b], proofs[a:b],
+                                        seed=99 + rep, repeats=1))
+    best = {}
+    for k, outs in runs.items():
+        # noise-floor estimate: per-COMPONENT minima (a single rep's wall
+        # couples the two phases to one scheduler epoch)
+        replay = min(o["replay_s"] for o in outs)
+        msm = min(o["msm_s"] for o in outs)
+        best[k] = {
+            "ok": all(o["ok"] for o in outs), "n": outs[0]["n"],
+            "replay_s": replay, "msm_s": msm,
+            "msm_bases": outs[0]["msm_bases"],
+            "wall_s": round(replay + msm, 2),
+            "wall_spread_s": [min(o["wall_s"] for o in outs),
+                              max(o["wall_s"] for o in outs)],
+        }
+    print("SCALING " + json.dumps(best), flush=True)
 
 
 def worker(rank: int) -> None:
@@ -139,14 +179,17 @@ def worker(rank: int) -> None:
     crs, instances, proofs = build_batch()
     sl = process_slice(B)
     t0 = time.perf_counter()
-    out = timed_verify(crs, instances[sl], proofs[sl], seed=99)
+    out = timed_verify(crs, instances[sl], proofs[sl], seed=99, repeats=1)
     t1 = time.perf_counter()
     agreed = all_hosts_agree(out["ok"])
+    t2 = time.perf_counter()
+    agreed2 = all_hosts_agree(out["ok"])  # warm: first pays jit compile
     out.update(rank=rank, world=jax.process_count(),
                slice=[sl.start, sl.stop],
-               allgather_ms=round((time.perf_counter() - t1) * 1e3, 1),
-               wall_with_collective_s=round(time.perf_counter() - t0, 2),
-               global_ok=bool(agreed))
+               allgather_first_ms=round((t2 - t1) * 1e3, 1),
+               allgather_warm_ms=round((time.perf_counter() - t2) * 1e3, 1),
+               wall_with_collective_s=round(t2 - t0, 2),
+               global_ok=bool(agreed and agreed2))
     print("WORKER " + json.dumps(out), flush=True)
 
 
@@ -172,22 +215,17 @@ def _collect(proc, tag: str) -> dict:
 
 def parent() -> int:
     t_start = time.time()
-    half = B // 2
 
-    # isolated runs, one at a time (each owns the core)
-    print(f"[1/4] single-host full batch B={B}...", flush=True)
-    single = _collect(_spawn(["--slice", "0", str(B)]), "SLICE")
-    print(json.dumps(single), flush=True)
-    print("[2/4] host-0 slice isolated...", flush=True)
-    h0 = _collect(_spawn(["--slice", "0", str(half)]), "SLICE")
-    print(json.dumps(h0), flush=True)
-    print("[3/4] host-1 slice isolated...", flush=True)
-    h1 = _collect(_spawn(["--slice", str(half), str(B)]), "SLICE")
-    print(json.dumps(h1), flush=True)
+    # interleaved isolated runs, all in ONE process (shared noise regime)
+    print(f"[1/2] scaling walls (interleaved, min-of-3) B={B}...",
+          flush=True)
+    walls = _collect(_spawn(["--scaling"]), "SCALING")
+    single, h0, h1 = walls["single"], walls["h0"], walls["h1"]
+    print(json.dumps(walls), flush=True)
 
     # live world=2 (contended on the 1-core host; exercises the real
     # process group + DCN all-gather)
-    print("[4/4] live world=2 process group...", flush=True)
+    print("[2/2] live world=2 process group...", flush=True)
     t0 = time.time()
     procs = [_spawn(["--rank", str(r)]) for r in range(WORLD)]
     workers = [_collect(p, "WORKER") for p in procs]
@@ -212,9 +250,12 @@ def parent() -> int:
         "proofs_per_s_single": round(B / t1, 1),
         "proofs_per_s_scaled": round(B / t_iso, 1),
         "methodology": (
-            "1-core host: per-host slices measured in isolation (the "
+            "1-core host: single-host and per-host walls measured "
+            "interleaved in one process (min-of-3 round-robin; the box's "
+            "scheduler noise swings runs ~30-40%, so the ratios need one "
+            "shared noise regime), each run alone on the core; the "
             "framework's only cross-host step is the 4-byte verdict "
-            "all-gather, measured live in the world=2 run); the concurrent "
+            "all-gather, measured live in the world=2 run; the concurrent "
             "efficiency is core-contention-bound, not framework-bound"),
         "target": ">=0.90 linear scaling (BASELINE.md config 5)",
         "total_harness_s": round(time.time() - t_start, 1),
@@ -228,6 +269,8 @@ def parent() -> int:
 if __name__ == "__main__":
     if "--rank" in sys.argv:
         worker(int(sys.argv[sys.argv.index("--rank") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
     elif "--slice" in sys.argv:
         i = sys.argv.index("--slice")
         run_slice(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
