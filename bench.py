@@ -210,16 +210,17 @@ def bench_protocol(ell: int, repeats: int, batch: int):
         if _stream_family_warm():
             from curdleproofs_tpu.ops.msm_device import DeviceMsmStream
             from curdleproofs_tpu.parallel.batch_verify import (
-                plan_split_fraction,
+                _batch_verify_streamed,
             )
 
-            split_f = round(plan_split_fraction(), 3)
             warm = DeviceMsmStream()  # absorb blob deserialize + cache load
             warm.add([vec_R[0]], [1])
             warm.result()
             t0 = time.perf_counter()
             assert batch_verify(crs, instances, proofs, rng, stream_chunk=64)
             paths["streamed-split"] = time.perf_counter() - t0
+            split_f = round(getattr(_batch_verify_streamed, "last_split",
+                                    -1.0), 3)
         else:
             stream_reason = "stream-family AOT blob missing (compile risk)"
     else:

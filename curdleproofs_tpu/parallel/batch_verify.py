@@ -43,29 +43,50 @@ class ShuffleInstance:
         self.M = M
 
 
-def plan_split_fraction() -> float:
+def plan_split_fraction(replay_s_per_chunk: float = 0.0,
+                        bases_per_chunk: int | None = None) -> float:
     """Fraction of the batch's MSM terms the device should take.
 
-    Timeline model on a 1-core host: the host must serially run every
-    transcript replay, the fresh-base prep of each device chunk, and its own
-    share of the final MSM; the device crunches its share in the shadow of
-    that host work.  Per-base, the device is worth it up to
-        f = r_host / (d_device + r_host)
-    (device-done-by-host-done equality with zero replay credit — the
-    conservative direction: the device never becomes the tail).  Rates come
-    from the measured tune table's stream-family entry (ops/msm_tune.py);
-    untuned platforms split 50/50."""
+    Timeline model on a 1-core host.  Per device chunk the host blocks only
+    on the prep's host share `p` (native export + array staging — the
+    upload and sqrt ingest drain on the DEVICE, measured separately as
+    `fresh_prep_host_ms` vs `fresh_prep_ms` in ops/msm_tune.json); the
+    device is busy `d = (prep_total - prep_host) + device_warm` per chunk.
+    Host chunks cost the host `h = host_ms` of final-MSM work.  Host
+    timeline = replays + f*C*p + (1-f)*C*h; device busy = f*C*d.  Since
+    p < h on every tuned platform, the total falls as f rises until the
+    device becomes the tail; the optimum is the equality
+        f = (r + h) / (d + h - p)
+    with r the replay wall per chunk (pass the live measurement; r=0 is the
+    conservative default — the device never becomes the tail).  Every term
+    scales with the same chunk size, so only r needs the caller's units:
+    seconds per chunk of `bases_per_chunk` terms.  Untuned platforms split
+    50/50."""
     from ..ops.msm_device import stream_params
     from ..ops.msm_tune import load_table
 
-    entry = load_table().get(stream_params().n)
+    n_fam = stream_params().n
+    entry = load_table().get(n_fam)
     if entry is None:
         return 0.5
-    r_h = entry["host_ms"]
-    d_pb = entry["device_warm_ms"] + entry["fresh_prep_ms"]
-    if r_h <= 0 or d_pb <= 0:
+    scale = (bases_per_chunk / n_fam) if bases_per_chunk else 1.0
+    h = entry["host_ms"] * scale
+    p_host = entry.get("fresh_prep_host_ms", entry["fresh_prep_ms"]) * scale
+    # device busy per chunk: measured steady-state feed (upload + ingest,
+    # "ingest_dev_ms") + the pipeline wall; older tables fall back to the
+    # single-shot prep estimate
+    ingest = entry.get(
+        "ingest_dev_ms",
+        entry["fresh_prep_ms"] - entry.get("fresh_prep_host_ms", 0.0))
+    d = (ingest + entry["device_warm_ms"]) * scale
+    r = replay_s_per_chunk * 1e3
+    if p_host >= h:
+        # a device chunk blocks the host longer than just MSM-ing it would:
+        # the device cannot help at any fraction
+        return 0.0
+    if h <= 0 or d + h - p_host <= 0:
         return 0.5
-    return max(0.0, min(1.0, r_h / (d_pb + r_h)))
+    return max(0.0, min(1.0, (r + h) / (d + h - p_host)))
 
 
 def _batch_verify_streamed(
@@ -91,40 +112,49 @@ def _batch_verify_streamed(
     family from the data-dependent dedup size is what put an uncached
     many-minute compile into the r03 measured path (VERDICT r03 weak #2).
     """
+    import time
+
     from ..backend import HostBackend
     from ..ops.msm_device import STREAM_LOGN, DeviceMsmStream
     from ..util import msm
 
-    f_dev = plan_split_fraction()
     n_chunks = -(-len(proofs) // chunk)
     stream: DeviceMsmStream | None = None
     host_acc = MsmAccumulator()
-    credit = 0.0
+    f_dev = 1.0  # chunk 0 always goes to the (idle) device; its measured
+    # replay wall + dedup size then calibrate the split for the rest
+    credit = 1.0
     try:
         for off in range(0, len(proofs), chunk):
-            credit += f_dev
             to_device = credit >= 1.0
             if to_device:
                 credit -= 1.0
                 acc = MsmAccumulator()
             else:
                 acc = host_acc
+            t0 = time.perf_counter()
             for i in range(off, min(off + chunk, len(proofs))):
                 inst = instances[i]
                 proofs[i].verify_with_accumulator(
                     crs, inst.vec_R, inst.vec_S, inst.vec_T, inst.vec_U,
                     inst.M, acc, rng)
+            replay_s = time.perf_counter() - t0
             if to_device:
                 bases, scalars = acc.dedup_raw()
                 if stream is None:
-                    # power-of-two family in [2^9, 2^16], saturating at the
-                    # AOT-covered stream family for production batch sizes
-                    est = max(1, len(bases)) * max(1, round(n_chunks * f_dev))
+                    # first chunk: calibrate the split from the live replay
+                    # wall and dedup size, and pick a power-of-two dispatch
+                    # family in [2^9, 2^16] saturating at the AOT-covered
+                    # stream family for production batch sizes
+                    f_dev = plan_split_fraction(replay_s, len(bases))
+                    est = max(1, len(bases)) * n_chunks
                     logn = min(STREAM_LOGN, max(9, (est - 1).bit_length()))
                     stream = DeviceMsmStream(1 << logn)
                 stream.add(bases, scalars)
+            credit += f_dev
     except VerificationError:
         return False
+    _batch_verify_streamed.last_split = f_dev  # bench reporting
 
     # host share first: its MSM runs while the device drains its async queue
     bases, scalars = host_acc.dedup_raw()

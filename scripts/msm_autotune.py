@@ -67,8 +67,24 @@ def main() -> None:
         np.asarray(warm0.ext_zb[:1])
         t0 = time.perf_counter()
         bases = DeviceBases(pts)
-        np.asarray(bases.ext_zb[:1])
-        fresh_prep_ms = (time.perf_counter() - t0) * 1e3
+        t_host = time.perf_counter()   # construction returns after dispatch:
+        np.asarray(bases.ext_zb[:1])   # everything past here runs on device
+        t_sync = time.perf_counter()
+        fresh_prep_ms = (t_sync - t0) * 1e3
+        # the HOST-BLOCKING share (native export + array staging): what a
+        # pipelined consumer (DeviceMsmStream) actually pays per chunk —
+        # the upload+ingest drain on the device in the shadow of later work
+        fresh_prep_host_ms = (t_host - t0) * 1e3
+
+        # steady-state feed: 4 back-to-back fresh uploads, one sync — the
+        # device-side upload+ingest time per chunk a STREAM actually sees
+        # (T4 = p_host + 4*I when device-bound, so I = (T4 - p_host)/4)
+        t0 = time.perf_counter()
+        feed = [DeviceBases(pts) for _ in range(4)]
+        for fb in feed:
+            np.asarray(fb.ext_zb[:1])
+        t4_ms = (time.perf_counter() - t0) * 1e3
+        ingest_dev_ms = max(0.0, t4_ms - fresh_prep_host_ms) / 4
 
         cands = [8] if n < (1 << 16) else [8, 16]
         results = {}
@@ -96,6 +112,8 @@ def main() -> None:
             "s_pad": params.s_pad,
             "device_warm_ms": round(warm_ms, 1),
             "fresh_prep_ms": round(fresh_prep_ms, 1),
+            "fresh_prep_host_ms": round(fresh_prep_host_ms, 1),
+            "ingest_dev_ms": round(ingest_dev_ms, 1),
             "host_ms": round(host_ms, 1),
             "losers": {str(c): round(results[c][0], 1)
                        for c in results if c != c_win},
