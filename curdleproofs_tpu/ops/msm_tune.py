@@ -102,8 +102,32 @@ def route_to_device(n: int, resident: bool) -> bool | None:
     return dev < e["host_ms"] * scale
 
 
-def record_entry(n_pad: int, entry: dict) -> None:
-    """Persist one family's measurements (scripts/msm_autotune.py)."""
+#: Contention guard: a pass whose host wall disagrees with the committed
+#: entry by more than this factor (either direction) is quarantined, not
+#: written live.  The r04 postmortem (VERDICT weak #3): one contended
+#: autotune pass rewrote the 2^16 host_ms 359 -> 964 ms (2.7x) and the
+#: routing model snapped device_split_fraction to 1.0.
+HOST_MS_GUARD = 1.5
+
+
+def _agrees(a: float, b: float, factor: float = HOST_MS_GUARD) -> bool:
+    if a <= 0 or b <= 0:
+        return True
+    r = a / b
+    return 1.0 / factor <= r <= factor
+
+
+def record_entry(n_pad: int, entry: dict, force: bool = False) -> str:
+    """Persist one family's measurements (scripts/msm_autotune.py).
+
+    Returns "written" or "quarantined".  A pass whose `host_ms` deviates
+    >HOST_MS_GUARD x from the committed entry is stored under the committed
+    entry's "pending" field instead of replacing it; a SECOND pass agreeing
+    with the pending one (within the same factor) then overwrites — one
+    contended pass can never corrupt the routing model alone.  `force=True`
+    bypasses the guard (explicit operator intent).  Accepted passes append
+    to a bounded `host_ms_history` spread so drift stays visible.
+    """
     p = table_path()
     raw = {}
     if p.is_file():
@@ -111,8 +135,34 @@ def record_entry(n_pad: int, entry: dict) -> None:
             raw = json.loads(p.read_text())
         except (OSError, ValueError):
             raw = {}
-    raw.setdefault(_platform(), {})[str(n_pad)] = entry
+    fam = raw.setdefault(_platform(), {})
+    prev = fam.get(str(n_pad))
+    status = "written"
+    if (prev is not None and not force
+            and not _agrees(entry["host_ms"], prev["host_ms"])):
+        pending = prev.get("pending")
+        if pending is not None and _agrees(entry["host_ms"],
+                                           pending["host_ms"]):
+            # two consecutive agreeing passes: the platform really moved
+            entry = dict(entry)
+            entry["host_ms_history"] = (
+                prev.get("host_ms_history", [prev["host_ms"]])
+                + [pending["host_ms"], entry["host_ms"]])[-6:]
+            fam[str(n_pad)] = entry
+        else:
+            prev = dict(prev)
+            prev["pending"] = {k: entry[k] for k in
+                               ("host_ms", "device_warm_ms", "c")}
+            fam[str(n_pad)] = prev
+            status = "quarantined"
+    else:
+        entry = dict(entry)
+        hist = [] if prev is None else prev.get("host_ms_history",
+                                                [prev["host_ms"]])
+        entry["host_ms_history"] = (hist + [entry["host_ms"]])[-6:]
+        fam[str(n_pad)] = entry
     tmp = p.with_suffix(".tmp")
     tmp.write_text(json.dumps(raw, indent=1, sort_keys=True) + "\n")
     tmp.replace(p)
     _load_raw.cache_clear()
+    return status

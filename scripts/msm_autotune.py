@@ -118,8 +118,9 @@ def main() -> None:
             "losers": {str(c): round(results[c][0], 1)
                        for c in results if c != c_win},
         }
-        record_entry(params.n, entry)
-        print(f"2^{logn} -> n_pad={params.n}: {json.dumps(entry)}",
+        force = os.environ.get("CURDLEPROOFS_TUNE_FORCE") == "1"
+        status = record_entry(params.n, entry, force=force)
+        print(f"2^{logn} -> n_pad={params.n} [{status}]: {json.dumps(entry)}",
               flush=True)
 
     print(f"table written: {table_path()}")

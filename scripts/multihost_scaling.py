@@ -260,8 +260,12 @@ def parent() -> int:
         "target": ">=0.90 linear scaling (BASELINE.md config 5)",
         "total_harness_s": round(time.time() - t_start, 1),
     }
-    (REPO / "bench_multihost.json").write_text(
-        json.dumps(artifact, indent=1) + "\n")
+    from curdleproofs_tpu.utils.artifacts import write_artifact
+
+    # refuses to replace a larger measurement with a smaller one (the r04
+    # B=4/ell=28 smoke clobber); MH_B/MH_ELL quick modes must set
+    # CURDLEPROOFS_ARTIFACT_DOWNGRADE=1 to land at all
+    write_artifact(REPO / "bench_multihost.json", artifact)
     print(json.dumps(artifact))
     return 0 if ok else 1
 

@@ -124,8 +124,12 @@ def parent() -> int:
           and not workers[1]["local_ok_corrupt"])     # rank 1 saw the bad one
     artifact = {"ok": ok, "world": WORLD, "batch": B, "ell": ELL,
                 "wall_s": round(wall, 1), "workers": workers}
-    (REPO / "bench_multihost.json").write_text(
-        json.dumps(artifact, indent=1) + "\n")
+    # correctness smoke run: its OWN artifact — the config-5 scaling
+    # measurement (bench_multihost.json, scripts/multihost_scaling.py) must
+    # never be clobbered by a smoke-scale refresh (VERDICT r04 missing #1)
+    from curdleproofs_tpu.utils.artifacts import write_artifact
+
+    write_artifact(REPO / "bench_multihost_smoke.json", artifact)
     print(json.dumps(artifact))
     return 0 if ok else 1
 

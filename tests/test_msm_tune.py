@@ -61,6 +61,65 @@ def test_untuned_returns_none(tmp_path, monkeypatch):
         msm_tune._load_raw.cache_clear()
 
 
+def test_contention_guard_quarantines_outlier(tmp_path, monkeypatch):
+    """The exact r04 pollution: committed host_ms 359.1, a contended pass
+    measures 964.4 (2.7x) — the guard must NOT let it overwrite live fields."""
+    path = tmp_path / "g.json"
+    monkeypatch.setenv("CURDLEPROOFS_TUNE", str(path))
+    msm_tune._load_raw.cache_clear()
+    try:
+        good = {"c": 8, "device_warm_ms": 319.7, "fresh_prep_ms": 257.1,
+                "host_ms": 359.1}
+        assert msm_tune.record_entry(65536, good) == "written"
+        bad = {"c": 8, "device_warm_ms": 330.0, "fresh_prep_ms": 260.0,
+               "host_ms": 964.4}
+        assert msm_tune.record_entry(65536, bad) == "quarantined"
+        table = msm_tune.load_table()
+        assert table[65536]["host_ms"] == 359.1          # live value intact
+        assert table[65536]["pending"]["host_ms"] == 964.4
+        # a pass agreeing with the committed value clears nothing but writes
+        ok2 = dict(good, host_ms=370.0)
+        assert msm_tune.record_entry(65536, ok2) == "written"
+        assert msm_tune.load_table()[65536]["host_ms"] == 370.0
+    finally:
+        msm_tune._load_raw.cache_clear()
+
+
+def test_contention_guard_two_agreeing_passes_overwrite(tmp_path, monkeypatch):
+    path = tmp_path / "g2.json"
+    monkeypatch.setenv("CURDLEPROOFS_TUNE", str(path))
+    msm_tune._load_raw.cache_clear()
+    try:
+        msm_tune.record_entry(65536, {"c": 8, "device_warm_ms": 300.0,
+                                      "fresh_prep_ms": 250.0,
+                                      "host_ms": 359.1})
+        slow = {"c": 8, "device_warm_ms": 300.0, "fresh_prep_ms": 250.0,
+                "host_ms": 950.0}
+        assert msm_tune.record_entry(65536, slow) == "quarantined"
+        slow2 = dict(slow, host_ms=980.0)
+        assert msm_tune.record_entry(65536, slow2) == "written"
+        entry = msm_tune.load_table()[65536]
+        assert entry["host_ms"] == 980.0                # platform really moved
+        assert 359.1 in entry["host_ms_history"]        # spread preserved
+    finally:
+        msm_tune._load_raw.cache_clear()
+
+
+def test_contention_guard_force_overrides(tmp_path, monkeypatch):
+    path = tmp_path / "g3.json"
+    monkeypatch.setenv("CURDLEPROOFS_TUNE", str(path))
+    msm_tune._load_raw.cache_clear()
+    try:
+        msm_tune.record_entry(1024, {"c": 8, "device_warm_ms": 40.0,
+                                     "fresh_prep_ms": 60.0, "host_ms": 17.0})
+        outlier = {"c": 8, "device_warm_ms": 40.0, "fresh_prep_ms": 60.0,
+                   "host_ms": 170.0}
+        assert msm_tune.record_entry(1024, outlier, force=True) == "written"
+        assert msm_tune.load_table()[1024]["host_ms"] == 170.0
+    finally:
+        msm_tune._load_raw.cache_clear()
+
+
 def test_record_entry_round_trip(tmp_path, monkeypatch):
     path = tmp_path / "rw.json"
     monkeypatch.setenv("CURDLEPROOFS_TUNE", str(path))
