@@ -68,6 +68,15 @@ def lib() -> ctypes.CDLL | None:
         "cp_fr_scale_accum": [ctypes.c_char_p, ctypes.c_char_p,
                               ctypes.c_char_p, ctypes.c_uint64,
                               ctypes.c_char_p],
+        "cp_fr_outer": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
+                        ctypes.c_uint64, ctypes.c_char_p],
+        "cp_fr_axpy": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                       ctypes.c_uint64, ctypes.c_char_p],
+        "cp_fr_mul_vec": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
+                          ctypes.c_char_p],
+        "cp_fr_inner_many": [ctypes.c_char_p, ctypes.c_char_p,
+                             ctypes.c_uint64, ctypes.c_uint64,
+                             ctypes.c_char_p],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
@@ -263,6 +272,62 @@ def fr_powers(base: int, n: int) -> list[int]:
     raw = out.raw
     return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
             for i in range(n)]
+
+
+def fr_outer_raw(a: bytes, b: bytes) -> bytes:
+    """Outer product out[i*nb+j] = a[i]*b[j] mod r over canonical 32 B-LE
+    buffers — the composite-scalar expansion of one batched-prover relation
+    (witness half x gamma-weight vector)."""
+    na, nb = len(a) // 32, len(b) // 32
+    out = ctypes.create_string_buffer(32 * na * nb)
+    lib().cp_fr_outer(bytes(a), na, bytes(b), nb, out)
+    return out.raw
+
+
+def fr_axpy_raw(gamma: int, x: bytes, y: bytes) -> bytes:
+    """out[i] = x[i] + gamma * y[i] mod r over canonical 32 B-LE buffers —
+    one folding-round witness update."""
+    n = len(x) // 32
+    assert len(y) == len(x)
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_axpy(gamma.to_bytes(32, "little"), bytes(x), bytes(y), n, out)
+    return out.raw
+
+
+def fr_mul_vec_raw(a: bytes, b: bytes) -> bytes:
+    """Elementwise out[i] = a[i]*b[i] mod r over canonical 32 B-LE buffers."""
+    n = len(a) // 32
+    assert len(b) == len(a)
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_mul_vec(bytes(a), bytes(b), n, out)
+    return out.raw
+
+
+def fr_inner_many_raw(a: bytes, b: bytes, n: int) -> list[int]:
+    """m = len(a)/32/n inner products of length n over contiguous canonical
+    32 B-LE blocks: out[k] = <a[k], b[k]> mod r."""
+    m = len(a) // 32 // n
+    assert len(a) == len(b) == 32 * n * m
+    out = ctypes.create_string_buffer(32 * m)
+    lib().cp_fr_inner_many(bytes(a), bytes(b), n, m, out)
+    raw = out.raw
+    return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+            for i in range(m)]
+
+
+def fr_scale_raw(rf: int, xs: bytes) -> bytes:
+    """Raw twin of `fr_scale`: canonical 32 B-LE in and out."""
+    n = len(xs) // 32
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_scale_vec(rf.to_bytes(32, "little"), bytes(xs), n, out)
+    return out.raw
+
+
+def fr_powers_raw(base: int, n: int) -> bytes:
+    """Raw twin of `fr_powers`: [base^1..base^n] as canonical 32 B-LE."""
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_powers(base.to_bytes(32, "little"), n, out)
+    return out.raw
 
 
 def fr_scale(rf: int, xs: list[int]) -> list[int]:

@@ -1380,6 +1380,124 @@ void cp_fr_powers(const uint8_t *base, uint64_t n, uint8_t *out) {
 
 }  // extern "C"
 
+// ---- Fr bulk chains for the batched lockstep prover ----
+// The batched prover (parallel/batch_prove.py) re-expresses every folding-
+// round MSM over the ORIGINAL resident bases with composite scalars
+// (witness x gamma-weight outer products), so its per-round host work is
+// these bulk canonical-LE chains instead of python bigint loops.
+
+namespace {
+
+inline void fr4_add_mod(Fr4 &a, const Fr4 &t) {
+    unsigned __int128 carry = 0;
+    for (int j = 0; j < 4; ++j) {
+        unsigned __int128 cur = (unsigned __int128)a.l[j] + t.l[j]
+                                + (u64)carry;
+        a.l[j] = (u64)cur;
+        carry = cur >> 64;
+    }
+    bool ge = carry != 0;
+    if (!ge) {
+        ge = true;
+        for (int j = 3; j >= 0; --j) {
+            if (a.l[j] != R_ORDER[j]) {
+                ge = a.l[j] > R_ORDER[j];
+                break;
+            }
+        }
+    }
+    if (ge) {
+        unsigned __int128 borrow = 0;
+        for (int j = 0; j < 4; ++j) {
+            unsigned __int128 cur = (unsigned __int128)a.l[j] - R_ORDER[j]
+                                    - (u64)borrow;
+            a.l[j] = (u64)cur;
+            borrow = (cur >> 64) ? 1 : 0;
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// out[i*nb + j] = a[i] * b[j] mod r — the composite-scalar outer product of
+// one folding-round relation (witness half x gamma-weight vector).
+// mont_mul(a_plain, b_mont) = a*b canonical: one mul per output entry.
+void cp_fr_outer(const uint8_t *a, uint64_t na, const uint8_t *b,
+                 uint64_t nb, uint8_t *out) {
+    std::vector<Fr4> bm(nb);
+    for (uint64_t j = 0; j < nb; ++j) fr4_load(b + 32 * j, bm[j]);
+    for (uint64_t i = 0; i < na; ++i) {
+        Fr4 x;
+        std::memcpy(x.l, a + 32 * i, 32);
+        uint8_t *row = out + 32 * i * nb;
+        for (uint64_t j = 0; j < nb; ++j) {
+            Fr4 t;
+            fr4_mont_mul(x, bm[j], t);
+            std::memcpy(row + 32 * j, t.l, 32);
+        }
+    }
+}
+
+// out[i] = x[i] + g * y[i] mod r — the witness fold of one round
+// (c = c_L + gamma_inv * c_R and friends).
+void cp_fr_axpy(const uint8_t *g, const uint8_t *x, const uint8_t *y,
+                uint64_t n, uint8_t *out) {
+    Fr4 gm;
+    fr4_load(g, gm);
+    for (uint64_t i = 0; i < n; ++i) {
+        Fr4 xv, yv, t;
+        std::memcpy(xv.l, x + 32 * i, 32);
+        std::memcpy(yv.l, y + 32 * i, 32);
+        fr4_mont_mul(yv, gm, t);  // g * y, canonical
+        fr4_add_mod(t, xv);
+        std::memcpy(out + 32 * i, t.l, 32);
+    }
+}
+
+// out[i] = a[i] * b[i] mod r elementwise (e.g. composite scalars x the
+// gathered beta-inverse rescaling of the grand-product G' bases).
+void cp_fr_mul_vec(const uint8_t *a, const uint8_t *b, uint64_t n,
+                   uint8_t *out) {
+    Fr4 r2;
+    std::memcpy(r2.l, FR_R2, 32);
+    for (uint64_t i = 0; i < n; ++i) {
+        Fr4 x, y, t, v;
+        std::memcpy(x.l, a + 32 * i, 32);
+        std::memcpy(y.l, b + 32 * i, 32);
+        fr4_mont_mul(x, y, t);   // a*b/R
+        fr4_mont_mul(t, r2, v);  // a*b
+        std::memcpy(out + 32 * i, v.l, 32);
+    }
+}
+
+// m independent inner products over contiguous [m, n] operand blocks:
+// out[k] = sum_i a[k*n + i] * b[k*n + i] mod r (the L_C/R_C z-terms of a
+// whole proof batch in one sweep).
+void cp_fr_inner_many(const uint8_t *a, const uint8_t *b, uint64_t n,
+                      uint64_t m, uint8_t *out) {
+    Fr4 r2;
+    std::memcpy(r2.l, FR_R2, 32);
+    for (uint64_t k = 0; k < m; ++k) {
+        Fr4 acc = {{0, 0, 0, 0}};
+        const uint8_t *ak = a + 32 * k * n;
+        const uint8_t *bk = b + 32 * k * n;
+        for (uint64_t i = 0; i < n; ++i) {
+            Fr4 x, y, t;
+            std::memcpy(x.l, ak + 32 * i, 32);
+            std::memcpy(y.l, bk + 32 * i, 32);
+            fr4_mont_mul(x, y, t);  // a*b/R
+            fr4_add_mod(acc, t);
+        }
+        Fr4 v;
+        fr4_mont_mul(acc, r2, v);  // undo the /R
+        std::memcpy(out + 32 * k, v.l, 32);
+    }
+}
+
+}  // extern "C"
+
 // ---- IFMA batch domain conversion + self-test ----
 
 #if CP_HAVE_IFMA

@@ -72,7 +72,9 @@ def _abstract_args(params):
     return (jax.ShapeDtypeStruct((12, m), u32),   # ext_px (packed limb pairs)
             jax.ShapeDtypeStruct((12, m), u32),   # ext_py
             jax.ShapeDtypeStruct((m,), u32),      # ext_zb (liveness bits)
-            jax.ShapeDtypeStruct((16, params.n), u32))  # scalar limbs
+            # uint16 over the link (halves the dominant upload); the
+            # pipeline widens to uint32 lanes in _signed_digits
+            jax.ShapeDtypeStruct((16, params.n), jnp.uint16))
 
 
 def export_family(params, pallas: bool, madd: bool,

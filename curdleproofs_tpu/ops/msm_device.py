@@ -303,10 +303,13 @@ def prepare_bases(points: list[G1]) -> DeviceBases:
 
 
 def _scalars_to_limbs(scalars: "list[int] | bytes", n_pad: int) -> np.ndarray:
-    """Canonical scalars -> [16, n_pad] uint32 of 16-bit limbs (32 B each).
+    """Canonical scalars -> [16, n_pad] uint16 of 16-bit limbs (32 B each).
 
     Accepts either python ints or a pre-serialised canonical 32 B-LE buffer
-    (the verifier's fused-dedup output — no int round trip)."""
+    (the verifier's fused-dedup output — no int round trip).  uint16 on
+    purpose: scalar upload is the dominant cost of a warm big MSM on the
+    ~30 MB/s host<->device link (the r04 2^20 "pipeline gap" was ~85%
+    upload), and the pipeline widens to uint32 lanes on device for free."""
     if isinstance(scalars, (bytes, bytearray)):
         buf, n = bytes(scalars), len(scalars) // 32
     else:
@@ -315,7 +318,7 @@ def _scalars_to_limbs(scalars: "list[int] | bytes", n_pad: int) -> np.ndarray:
             (s if 0 <= s < R else s % R).to_bytes(32, "little")
             for s in scalars)
     le16 = np.frombuffer(buf, dtype="<u2").reshape(n, 16)
-    out = np.zeros((n_pad, 16), dtype=np.uint32)
+    out = np.zeros((n_pad, 16), dtype=np.uint16)
     out[:n] = le16
     return np.ascontiguousarray(out.T)
 
@@ -345,10 +348,11 @@ def _take1(arr, idx):
 
 
 def _signed_digits(limbs, n: int, c: int):
-    """[16, n] uint32 scalar limbs -> signed base-2^c digits [W, n] int32 in
-    [-2^(c-1), 2^(c-1)].  Requires scalars < r < 2^255 so the top window
-    absorbs the final carry (c=8: top raw digit <= r>>248 = 115; c=16:
-    <= r>>240 = 29677 — both leave headroom for +1)."""
+    """[16, n] uint16/uint32 scalar limbs -> signed base-2^c digits [W, n]
+    int32 in [-2^(c-1), 2^(c-1)].  Requires scalars < r < 2^255 so the top
+    window absorbs the final carry (c=8: top raw digit <= r>>248 = 115;
+    c=16: <= r>>240 = 29677 — both leave headroom for +1)."""
+    limbs = limbs.astype(jnp.uint32)  # uint16 over the link, uint32 lanes
     w_cnt = -(-255 // c)
     half = 1 << (c - 1)
     if c == 16:

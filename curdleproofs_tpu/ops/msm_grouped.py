@@ -87,9 +87,10 @@ def pick_grouped_params(n_rel: int, width: int, n_ext: int) -> GroupedParams:
 
 
 def signed_digits_c4(limbs, m: int):
-    """[16, m] uint32 scalar limbs -> signed base-16 digits [64, m] int32 in
-    [-8, 8].  Scalars < r < 2^255, so the top window (bits 252..255, raw
-    digit <= 7) absorbs the final carry (7 + 1 = 8 = half, not > half)."""
+    """[16, m] uint16/uint32 scalar limbs -> signed base-16 digits [64, m]
+    int32 in [-8, 8].  Scalars < r < 2^255, so the top window (bits 252..255,
+    raw digit <= 7) absorbs the final carry (7 + 1 = 8 = half, not > half)."""
+    limbs = limbs.astype(jnp.uint32)  # uint16 over the link, uint32 lanes
     nib = jnp.stack([(limbs >> (4 * j)).astype(jnp.int32) & 0xF
                      for j in range(4)], axis=1).reshape(_W, m)
 

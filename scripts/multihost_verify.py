@@ -28,6 +28,8 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:  # the parent writes artifacts via the package
+    sys.path.insert(0, str(REPO))
 COORD = "localhost:17717"
 WORLD = 2
 # defaults stay small for the shared 1-core host; override for a heavier run
