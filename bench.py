@@ -411,6 +411,17 @@ def main():
         "batch_verify_proofs_per_s": batch_stats["proofs_per_s"],
         "baseline_hw": "i7-8550U (reference README)",
     }
+    # batched-prover artifact (scripts/batch_prove_bench.py measures it on
+    # hardware; re-proving a batch inside every bench run would double the
+    # wall, so the artifact rides along when present and fresh)
+    bp_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_batch_prove.json")
+    if os.path.isfile(bp_path):
+        try:
+            with open(bp_path) as f:
+                extra["batch_prove"] = json.load(f)
+        except Exception:
+            pass
     if not args.skip_msm and backend.name == "host":
         # the kernel sweep on XLA:CPU would be recorded under a "device_"
         # key — skip it rather than mislabel (host engine rates are implied

@@ -717,12 +717,35 @@ class DeviceMsmStream:
     compile in the measured path — VERDICT r03 weak #2).
     """
 
-    def __init__(self, n_chunk: int | None = None, c: int | None = None):
+    def __init__(self, n_chunk: int | None = None, c: int | None = None,
+                 async_worker: bool = False):
         self.params = (stream_params(c) if n_chunk is None
                        else pick_params(n_chunk, c))
         self._outs: list = []
         self._pts: list[G1] = []
         self._sc = bytearray()
+        self._q = None
+        self._thread = None
+        if async_worker:
+            # chunk prep (native base export, sqrt-ingest dispatch, scalar
+            # upload) moves to a worker thread: the ctypes chains and the
+            # host->device transfers release the GIL, so they overlap the
+            # caller's replay python instead of blocking it (the split
+            # model's `fresh_prep_host_ms` term drops out of the host
+            # timeline) — see parallel/batch_verify._batch_verify_streamed
+            import queue
+            import threading
+
+            self._q = queue.Queue(maxsize=4)
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+
+    def _worker(self) -> None:
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            self._dispatch(*job)
 
     def add(self, points: list[G1], scalars: "list[int] | bytes") -> None:
         assert len(points) == _scalars_len(scalars)
@@ -735,9 +758,15 @@ class DeviceMsmStream:
                 for s in scalars)
         n = self.params.n
         while len(self._pts) >= n:
-            self._dispatch(self._pts[:n], bytes(self._sc[: n * 32]))
+            self._submit(self._pts[:n], bytes(self._sc[: n * 32]))
             del self._pts[:n]
             del self._sc[: n * 32]
+
+    def _submit(self, pts: list[G1], sc: bytes) -> None:
+        if self._q is not None:
+            self._q.put((pts, sc))
+        else:
+            self._dispatch(pts, sc)
 
     def _dispatch(self, pts: list[G1], sc: bytes) -> None:
         bases = DeviceBases(pts, n_pad=self.params.n)
@@ -745,8 +774,12 @@ class DeviceMsmStream:
 
     def result(self) -> G1:
         if self._pts:
-            self._dispatch(self._pts, bytes(self._sc))
+            self._submit(self._pts, bytes(self._sc))
             self._pts, self._sc = [], bytearray()
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
         wins: list[G1] | None = None
         for out in self._outs:
             pts = _window_sums_to_host(np.asarray(out))

@@ -44,7 +44,8 @@ class ShuffleInstance:
 
 
 def plan_split_fraction(replay_s_per_chunk: float = 0.0,
-                        bases_per_chunk: int | None = None) -> float:
+                        bases_per_chunk: int | None = None,
+                        worker: bool = False) -> float:
     """Fraction of the batch's MSM terms the device should take.
 
     Timeline model on a 1-core host.  Per device chunk the host blocks only
@@ -71,7 +72,10 @@ def plan_split_fraction(replay_s_per_chunk: float = 0.0,
         return 0.5
     scale = (bases_per_chunk / n_fam) if bases_per_chunk else 1.0
     h = entry["host_ms"] * scale
-    p_host = entry.get("fresh_prep_host_ms", entry["fresh_prep_ms"]) * scale
+    # with the async-worker stream the chunk prep runs on a thread whose
+    # chains release the GIL — the host timeline term is ~0, not prep_host
+    p_host = (0.0 if worker else
+              entry.get("fresh_prep_host_ms", entry["fresh_prep_ms"]) * scale)
     # device busy per chunk: measured steady-state feed (upload + ingest,
     # "ingest_dev_ms") + the pipeline wall; older tables fall back to the
     # single-shot prep estimate
@@ -146,10 +150,13 @@ def _batch_verify_streamed(
                     # wall and dedup size, and pick a power-of-two dispatch
                     # family in [2^9, 2^16] saturating at the AOT-covered
                     # stream family for production batch sizes
-                    f_dev = plan_split_fraction(replay_s, len(bases))
+                    f_dev = plan_split_fraction(replay_s, len(bases),
+                                                worker=True)
                     est = max(1, len(bases)) * n_chunks
                     logn = min(STREAM_LOGN, max(9, (est - 1).bit_length()))
-                    stream = DeviceMsmStream(1 << logn)
+                    # async_worker: chunk prep (base export + uploads)
+                    # overlaps the replay python via GIL-releasing chains
+                    stream = DeviceMsmStream(1 << logn, async_worker=True)
                 stream.add(bases, scalars)
             credit += f_dev
     except VerificationError:

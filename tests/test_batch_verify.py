@@ -79,6 +79,12 @@ def test_device_msm_stream_matches_host():
     stream2.add(pts[100:], sb[100 * 32 :])
     assert stream2.result() == expect
 
+    # async-worker mode (prep on a GIL-releasing thread) — same result
+    stream3 = DeviceMsmStream(64, async_worker=True)
+    stream3.add(pts[:100], ss[:100])
+    stream3.add(pts[100:], ss[100:])
+    assert stream3.result() == expect
+
 
 @pytest.mark.slow
 def test_batch_verify_sharded_mesh(batch):
