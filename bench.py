@@ -81,6 +81,11 @@ def _pick_backend():
     elif not _tpu_reachable():
         reason = "TPU unreachable within the probe deadline"
     if reason is None:
+        # overlap the first-device-touch stall (tens of seconds on the
+        # tunnel) with the host-side proof building below
+        from curdleproofs_tpu.ops.warmup import start_background_init
+
+        start_background_init()
         from curdleproofs_tpu.ops.backend import auto_backend
 
         b = auto_backend()

@@ -28,6 +28,13 @@ def main() -> None:
     import jax
     import numpy as np
 
+    bg = os.environ.get("CURDLEPROOFS_BG_INIT") == "1"
+    if bg:
+        # A/B (VERDICT r04 item 8): first device touch runs on a daemon
+        # thread so the stall overlaps the host-side generation below
+        from curdleproofs_tpu.ops.warmup import start_background_init
+
+        start_background_init()
     jax.devices()
     t_init = time.perf_counter()
 
@@ -51,6 +58,12 @@ def main() -> None:
     # a process can stall for minutes (platform weather, not our code)
     import jax.numpy as jnp
 
+    if bg:
+        from curdleproofs_tpu.ops.warmup import wait_ready
+
+        bg_stats = wait_ready()
+    else:
+        bg_stats = None
     np.asarray(jnp.zeros((8,), jnp.uint32) + 1)
     t_touch = time.perf_counter()
     bases = prepare_bases(pts)
@@ -70,6 +83,8 @@ def main() -> None:
     print(json.dumps({
         "logn": logn,
         "aot": bool(aot_hit),
+        **({"bg_init": {k: round(v, 1) if isinstance(v, float) else v
+                        for k, v in bg_stats.items()}} if bg_stats else {}),
         "init_s": round(t_init - t_start, 1),
         "host_gen_s": round(t_gen - t_init, 1),
         "first_device_touch_s": round(t_touch - t_gen, 1),
