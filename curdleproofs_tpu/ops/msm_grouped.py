@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..constants import Q, R
+from ..constants import Q
 from ..host.g1 import G1
 from .field import FQ
 from .g1_ops import PointsXYZ, g1_infinity, use_pallas

@@ -45,7 +45,7 @@ from ..constants import N_BLINDERS, R
 from ..crs import CurdleproofsCrs
 from ..curdleproofs import CurdleproofsProof
 from ..grand_product import GrandProductProof
-from ..host.field import batch_inversion, fr_inv, fr_pow
+from ..host.field import fr_inv, fr_pow
 from ..host.g1 import G1
 from ..host.rng import StdRng
 from ..ipa import InnerProductProof
@@ -160,7 +160,11 @@ def _interleave(w: bytes, gw: bytes) -> bytes:
 # --------------------------------------------------------------------------
 
 class _Dispatcher:
-    """Pack (cols, raw-scalar) relations into one grouped device program."""
+    """Pack (cols, raw-scalar) relations into one grouped device program.
+
+    `timings` accumulates the wall split (pack / upload+exec+sync / decode)
+    per dispatch when tracing is on — the data behind
+    docs/batch_prover_notes.md."""
 
     def __init__(self, bases):
         from ..ops.g1_ops import use_pallas
@@ -169,15 +173,26 @@ class _Dispatcher:
         self.bases = bases
         self.pallas = use_pallas()
         self.madd = use_madd()
+        self.timings: dict[str, float] = {}
+
+    def _t(self, key: str, t0: float) -> float:
+        import time
+
+        t1 = time.perf_counter()
+        self.timings[key] = self.timings.get(key, 0.0) + (t1 - t0)
+        return t1
 
     def run(self, rels: "list[tuple[np.ndarray, bytes]]") -> list[G1]:
         """rels: [(cols int32 [w], scalars raw 32 B-LE [w*32])] -> [G1]."""
+        import time
+
         import jax.numpy as jnp
 
         from ..ops.msm_grouped import (
             _grouped_msm_jit, decode_points, pick_grouped_params,
         )
 
+        t0 = time.perf_counter()
         width = max(len(c) for c, _ in rels)
         params = pick_grouped_params(len(rels), width, self.bases.n)
         cols = np.zeros((params.n_rel, width), np.int32)
@@ -185,13 +200,19 @@ class _Dispatcher:
         for i, (c, s) in enumerate(rels):
             cols[i, : len(c)] = c
             limbs[i, : len(c)] = np.frombuffer(s, "<u2").reshape(-1, 16)
+        limbs_t = np.ascontiguousarray(limbs.transpose(2, 0, 1))
+        t0 = self._t("pack_s", t0)
         out = _grouped_msm_jit(
             self.bases.ext_px, self.bases.ext_py, self.bases.ext_zb,
-            jnp.asarray(np.ascontiguousarray(limbs.transpose(2, 0, 1))),
-            jnp.asarray(cols),
+            jnp.asarray(limbs_t), jnp.asarray(cols),
             n_rel=params.n_rel, width=width, s_pad=params.s_pad,
             n_ext=params.n_ext, pallas=self.pallas, madd=self.madd)
-        return decode_points(np.asarray(out))[: len(rels)]
+        host = np.asarray(out)
+        t0 = self._t("device_s", t0)
+        pts = decode_points(host)[: len(rels)]
+        self._t("decode_s", t0)
+        self.timings["dispatches"] = self.timings.get("dispatches", 0) + 1
+        return pts
 
 
 def _round_maps(n: int) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -235,8 +256,11 @@ def batch_prove(crs: CurdleproofsCrs, instances: list[ProveInstance],
 
 def _prove_wave(crs: CurdleproofsCrs,
                 insts: list[ProveInstance]) -> list[CurdleproofsProof]:
+    import time
+
     from ..ops.msm_device import DeviceBases
 
+    t_wave = time.perf_counter()
     B = len(insts)
     ell = len(crs.vec_G)
     n = ell + N_BLINDERS
@@ -256,6 +280,7 @@ def _prove_wave(crs: CurdleproofsCrs,
             combined.extend(vec)
     bases = DeviceBases(combined)
     disp = _Dispatcher(bases)
+    disp.timings["bases_s"] = time.perf_counter() - t_wave
 
     # position -> column maps (n-long base vectors of the sub-arguments)
     acols = np.concatenate([np.arange(G_off, G_off + ell, dtype=np.int32),
@@ -580,6 +605,11 @@ def _prove_wave(crs: CurdleproofsCrs,
         proofs.append(CurdleproofsProof(
             A_l[b], cm_T_l[b], cm_U_l[b], Rhat[b], Shat[b],
             SamePermutationProof(B_l[b], gp), samescalar_l[b], same_msm))
+    t = disp.timings
+    t["wave_s"] = time.perf_counter() - t_wave
+    t["host_other_s"] = t["wave_s"] - sum(
+        t.get(k, 0.0) for k in ("bases_s", "pack_s", "device_s", "decode_s"))
+    batch_prove.last_timings = dict(t)  # bench/debug visibility
     return proofs
 
 

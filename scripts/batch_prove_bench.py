@@ -91,8 +91,10 @@ def main() -> int:
     t0 = time.time()
     proofs = batch_prove(crs, insts2)
     warm_s = time.time() - t0
+    timings = {k: (round(v, 2) if isinstance(v, float) else v)
+               for k, v in getattr(batch_prove, "last_timings", {}).items()}
     print(f"batch_prove warm: {warm_s:.1f} s "
-          f"({B / warm_s:.1f} proofs/s)", flush=True)
+          f"({B / warm_s:.1f} proofs/s)  phases={timings}", flush=True)
 
     # --- correctness gates --------------------------------------------------
     assert proofs[0].serialize() == host_proofs[0].serialize(), \
@@ -114,6 +116,7 @@ def main() -> int:
         "proofs_per_s_host": round(1000 / host_ms, 2),
         "speedup_vs_host": round(host_batch_s / warm_s, 3),
         "gen_s": round(gen_s, 1),
+        "warm_phases": timings,
         "gates": {"bytes_match_sequential": True, "verify_ok": True},
     }
     from curdleproofs_tpu.utils.artifacts import write_artifact

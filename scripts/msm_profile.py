@@ -12,7 +12,6 @@ Writes bench_msm_phases.json with per-phase ms per (log_n, c) family.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import pathlib

@@ -6,7 +6,6 @@ proofs must also verify."""
 
 import pytest
 
-from curdleproofs_tpu.constants import N_BLINDERS
 from curdleproofs_tpu.curdleproofs import CurdleproofsProof, generate_crs
 from curdleproofs_tpu.host.rng import StdRng
 from curdleproofs_tpu.parallel.batch_prove import ProveInstance, batch_prove
