@@ -307,6 +307,228 @@ def decode_points(out: np.ndarray) -> list[G1]:
     return pts
 
 
+# --------------------------------------------------------------------------
+# TABLE MODE: dense relations over precomputed small multiples
+# --------------------------------------------------------------------------
+# The slot/merge machinery above handles arbitrary sparse relations, but the
+# batched prover's rounds are DENSE (every row has `width` live cells) over
+# bases that are resident and known in advance.  Profiling the slot design at
+# the prover's round family (bench_grouped_phases.json: 2.74 s/dispatch =
+# 0.46 s fold + ~1.2 s keyed slot-merge + 0.44 s gathers + 0.33 s plan
+# scatters/cumsums) showed 83% of the wall is bucket bookkeeping.  Table mode
+# removes ALL of it: the device precomputes d*P for d in 1..8 for every
+# resident base once per residency (~0.5 s, amortized over every dispatch),
+# and each window sum becomes a PURE STREAMING FOLD of `width` table entries
+# — no buckets, no slots, no merge, no bucket reduction.  A memory-for-
+# bookkeeping trade only an accelerator with GBs of HBM can make; the
+# reference's rayon Pippenger has no analogue (/root/reference/src/util.rs:19).
+
+class DeviceBasesTable:
+    """Extended residency [d*P | -d*P | inf] for d = 1..8 (c = 4 digits).
+
+    Layout: column m*N + i holds (m+1) * P_i for m in 0..7; columns
+    8N..16N-1 the negations (y flipped); column 16N the infinity sentinel.
+    Multiples are computed ON DEVICE (7 complete adds over the base vector
+    + one batched z-normalization whose single field inversion hops to the
+    host — 96 B down, 32 B up), so the table costs no host<->device
+    bandwidth beyond the original base upload."""
+
+    def __init__(self, bases: DeviceBases):
+        self.n = bases.n
+        self.n_real = bases.n_real
+        total_dev, mx, my, mz = _table_stage1(
+            bases.ext_px, bases.ext_py, bases.ext_zb)
+        total = _decode_canonical_col(np.asarray(total_dev))
+        # the ONE inversion of the whole batch, on host; re-uploaded in
+        # MONTGOMERY form so the device chain stays in-domain
+        inv_mont = pow(total, Q - 2, Q) * pow(2, 384, Q) % Q
+        self.ext_px, self.ext_py, self.ext_zb = _table_stage2(
+            bases.ext_px, bases.ext_py, bases.ext_zb, mx, my, mz,
+            jnp.asarray(np.asarray(
+                int_to_limbs(inv_mont, FQ.L), dtype=np.uint32)))
+
+
+def _decode_canonical_col(arr) -> int:
+    """[L] canonical 16-bit limb column (uint32 lanes) -> python int."""
+    return sum(int(v) << (16 * i) for i, v in enumerate(np.asarray(arr)))
+
+
+@jax.jit
+def _table_stage1(ext_px, ext_py, ext_zb):
+    """Base residency -> projective multiples 2P..8P + the z-product.
+
+    Returns (total_z_canonical [L], mxs, mys, mzs each [24, 7N] Montgomery
+    projective).  The caller inverts total_z on host (one 381-bit inversion)
+    and feeds it to _table_stage2."""
+    from .msm_device import _unpack_rows
+
+    n = ext_zb.shape[0] // 2  # ext arrays are [*, 2N+1]
+    x1 = _unpack_rows(ext_px[:, :n])
+    y1 = _unpack_rows(ext_py[:, :n])
+    zb = ext_zb[:n]
+    one = FQ.const(1, (n,))
+    z1 = jnp.where(zb[None] != 0, one, jnp.uint32(0))
+    p1 = PointsXYZ(x1, y1, z1)
+
+    acc = p1
+    xs, ys, zs = [], [], []
+    for _ in range(7):  # 2P .. 8P
+        acc = _g1_add_jnp_local(acc, p1)
+        xs.append(acc.x)
+        ys.append(acc.y)
+        zs.append(acc.z)
+    mx = jnp.concatenate(xs, axis=1)
+    my = jnp.concatenate(ys, axis=1)
+    mz = jnp.concatenate(zs, axis=1)
+
+    # product of all z's (zeros masked to 1) for Montgomery batch inversion
+    zmask = jnp.where(jnp.any(mz != 0, axis=0)[None], mz,
+                      FQ.const(1, mz.shape[1:]))
+    prod = lax.associative_scan(FQ.mul, zmask, axis=1)[:, -1]
+    one_plain = jnp.asarray(int_to_limbs(1, FQ.L)).reshape(FQ.L, 1)
+    total = FQ.mul(prod[:, None], one_plain)[:, 0]  # canonical for the host
+    return total, mx, my, mz
+
+
+@jax.jit
+def _table_stage2(ext_px, ext_py, ext_zb, mx, my, mz, inv_total_limbs):
+    """Normalize the projective multiples with one shared inversion and
+    assemble the [d*P | -d*P | inf] table residency (packed limb pairs)."""
+    from .msm_device import _pack_rows
+
+    m = mz.shape[1]
+    one = FQ.const(1, (m,))
+    live = jnp.any(mz != 0, axis=0)
+    zmask = jnp.where(live[None], mz, one)
+    # inv(z_i) = excl_prefix_i * excl_suffix_i * inv(total)
+    pp = lax.associative_scan(FQ.mul, zmask, axis=1)
+    sp = jnp.flip(lax.associative_scan(
+        FQ.mul, jnp.flip(zmask, axis=1), axis=1), axis=1)
+    excl_pp = jnp.concatenate([one[:, :1], pp[:, :-1]], axis=1)
+    excl_sp = jnp.concatenate([sp[:, 1:], one[:, :1]], axis=1)
+    inv_total = jnp.broadcast_to(inv_total_limbs[:, None], excl_pp.shape)
+    inv_z = FQ.mul(FQ.mul(excl_pp, excl_sp), inv_total)
+    ax = jnp.where(live[None], FQ.mul(mx, inv_z), 0)
+    ay = jnp.where(live[None], FQ.mul(my, inv_z), one)
+    azb = live.astype(jnp.uint32)
+
+    # assemble: [P (from the base residency) | 2P..8P | negatives | inf]
+    base_px = ext_px[:, : azb.shape[0] // 7]
+    base_py = ext_py[:, : azb.shape[0] // 7]
+    base_zb = ext_zb[: azb.shape[0] // 7]
+    inf_px = ext_px[:, -1:]
+    inf_py = ext_py[:, -1:]
+    px_all = jnp.concatenate([base_px, _pack_rows(ax)], axis=1)
+    py_all = jnp.concatenate([base_py, _pack_rows(ay)], axis=1)
+    ny_all = jnp.concatenate(
+        [_pack_rows(FQ.neg(_unpack_rows_local(base_py))),
+         _pack_rows(FQ.neg(ay))], axis=1)
+    zb_all = jnp.concatenate([base_zb, azb])
+    tpx = jnp.concatenate([px_all, px_all, inf_px], axis=1)
+    tpy = jnp.concatenate([py_all, ny_all, inf_py], axis=1)
+    tzb = jnp.concatenate([zb_all, zb_all, jnp.zeros((1,), jnp.uint32)])
+    return tpx, tpy, tzb
+
+
+def _unpack_rows_local(a):
+    from .msm_device import _unpack_rows
+
+    return _unpack_rows(a)
+
+
+def _g1_add_jnp_local(p, q):
+    from .g1_ops import _g1_add_jnp
+
+    return _g1_add_jnp(p, q)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_rel", "width", "n_base", "pallas", "madd"))
+def _grouped_table_jit(tpx, tpy, tzb, limbs, col_pts, *, n_rel, width,
+                       n_base, pallas, madd):
+    """Dense grouped MSM over the multiples table: limbs [16, n_rel, width]
+    canonical scalar limbs, col_pts [n_rel, width] base indices ->
+    [3, 24, n_rel] canonical projective results.
+
+    Every (relation, window, position) cell maps to ONE table entry
+    ((|d|-1)*N + col, negatives at +8N, dead cells at 16N), and window sums
+    are a single streaming fold over the position axis — the fold kernel's
+    minimum possible add count (width adds per window sum)."""
+    rows = n_rel * _W
+    wpad = -(-width // _T) * _T
+    digits = signed_digits_c4(
+        limbs.reshape(16, n_rel * width), n_rel * width) \
+        .reshape(_W, n_rel, width).transpose(1, 0, 2)    # [n_rel, W, width]
+
+    live = digits != 0
+    idx = (jnp.abs(digits) - 1) * n_base + col_pts[:, None, :] \
+        + jnp.where(digits < 0, 8 * n_base, 0)
+    idx = jnp.where(live, idx, 16 * n_base)              # [n_rel, W, width]
+    plan = jnp.full((n_rel, _W, wpad), 16 * n_base, jnp.int32) \
+        .at[:, :, :width].set(idx) \
+        .transpose(2, 0, 1).reshape(wpad, rows)          # [wpad, rows]
+
+    if pallas:
+        from .pallas_kernels import (
+            g1_fold_rows_madd_pallas, g1_fold_rows_packed_pallas,
+        )
+
+        gx = _take1(tpx, plan)
+        gy = _take1(tpy, plan)
+        gzb = jnp.take(tzb, plan.reshape(-1)).reshape(wpad, rows)
+        fold = g1_fold_rows_madd_pallas if madd else g1_fold_rows_packed_pallas
+        acc = PointsXYZ(*fold(gx, gy, gzb))
+    else:
+        from .g1_ops import _g1_add_jnp
+        from .msm_device import _unpack_rows
+
+        one_col = FQ.const(1, (1,))
+
+        def fold_step(a, row):
+            qx = _unpack_rows(jnp.take(tpx, row, axis=1))
+            qy = _unpack_rows(jnp.take(tpy, row, axis=1))
+            zb = jnp.take(tzb, row)
+            qz = jnp.where(zb[None] != 0, one_col, jnp.uint32(0))
+            return _g1_add_jnp(a, PointsXYZ(qx, qy, qz)), None
+
+        i0 = g1_infinity((rows,))
+        vzero = tpx.reshape(-1)[0] * 0
+        acc, _ = lax.scan(fold_step, PointsXYZ(
+            i0.x + vzero, i0.y + vzero, i0.z + vzero), plan)
+
+    ws = PointsXYZ(acc.x.reshape(24, n_rel, _W),
+                   acc.y.reshape(24, n_rel, _W),
+                   acc.z.reshape(24, n_rel, _W))
+    return horner_device(ws, pallas)
+
+
+def grouped_msm_table(table: DeviceBasesTable,
+                      relations: "list[tuple[list[int], list[int]]]",
+                      ) -> list[G1]:
+    """`grouped_msm` twin over a DeviceBasesTable (dense fold path)."""
+    if not relations:
+        return []
+    width = max(len(c) for c, _ in relations)
+    n_rel = _round_up(max(len(relations), 8), 8)
+    cols = np.zeros((n_rel, width), dtype=np.int32)
+    flat: list[int] = []
+    for c, s in relations:
+        assert len(c) == len(s)
+        flat.extend(s)
+        flat.extend([0] * (width - len(s)))
+    flat.extend([0] * ((n_rel - len(relations)) * width))
+    for i, (c, _) in enumerate(relations):
+        cols[i, : len(c)] = c
+    limbs = _scalars_to_limbs(flat, n_rel * width).reshape(16, n_rel, width)
+
+    out = _grouped_table_jit(
+        table.ext_px, table.ext_py, table.ext_zb,
+        jnp.asarray(limbs), jnp.asarray(cols),
+        n_rel=n_rel, width=width, n_base=table.n,
+        pallas=use_pallas(), madd=use_madd())
+    return decode_points(np.asarray(out))[: len(relations)]
+
+
 def grouped_msm(bases: DeviceBases,
                 relations: "list[tuple[list[int], list[int]]]") -> list[G1]:
     """Host-facing grouped MSM: each relation is (cols, scalars) over the

@@ -159,6 +159,14 @@ def _interleave(w: bytes, gw: bytes) -> bytes:
 # grouped-dispatch plumbing
 # --------------------------------------------------------------------------
 
+def use_table() -> bool:
+    """Table mode (precomputed d*P multiples, streaming fold — see
+    ops/msm_grouped.py) unless CURDLEPROOFS_TABLE=0 pins the slot path."""
+    import os
+
+    return os.environ.get("CURDLEPROOFS_TABLE", "1") != "0"
+
+
 class _Dispatcher:
     """Pack (cols, raw-scalar) relations into one grouped device program.
 
@@ -171,6 +179,11 @@ class _Dispatcher:
         from ..ops.msm_device import use_madd
 
         self.bases = bases
+        self.table = None
+        if use_table():
+            from ..ops.msm_grouped import DeviceBasesTable
+
+            self.table = DeviceBasesTable(bases)
         self.pallas = use_pallas()
         self.madd = use_madd()
         self.timings: dict[str, float] = {}
@@ -202,11 +215,20 @@ class _Dispatcher:
             limbs[i, : len(c)] = np.frombuffer(s, "<u2").reshape(-1, 16)
         limbs_t = np.ascontiguousarray(limbs.transpose(2, 0, 1))
         t0 = self._t("pack_s", t0)
-        out = _grouped_msm_jit(
-            self.bases.ext_px, self.bases.ext_py, self.bases.ext_zb,
-            jnp.asarray(limbs_t), jnp.asarray(cols),
-            n_rel=params.n_rel, width=width, s_pad=params.s_pad,
-            n_ext=params.n_ext, pallas=self.pallas, madd=self.madd)
+        if self.table is not None:
+            from ..ops.msm_grouped import _grouped_table_jit
+
+            out = _grouped_table_jit(
+                self.table.ext_px, self.table.ext_py, self.table.ext_zb,
+                jnp.asarray(limbs_t), jnp.asarray(cols),
+                n_rel=params.n_rel, width=width, n_base=self.table.n,
+                pallas=self.pallas, madd=self.madd)
+        else:
+            out = _grouped_msm_jit(
+                self.bases.ext_px, self.bases.ext_py, self.bases.ext_zb,
+                jnp.asarray(limbs_t), jnp.asarray(cols),
+                n_rel=params.n_rel, width=width, s_pad=params.s_pad,
+                n_ext=params.n_ext, pallas=self.pallas, madd=self.madd)
         host = np.asarray(out)
         t0 = self._t("device_s", t0)
         pts = decode_points(host)[: len(rels)]

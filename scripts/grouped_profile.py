@@ -64,12 +64,18 @@ def main() -> int:
     colsj = jnp.asarray(cols)
     pallas, madd = use_pallas(), use_madd()
 
+    def _force(r):
+        # block_until_ready does NOT drain the axon queue — force a real
+        # sync with a host readback of one small leaf
+        leaf = jax.tree_util.tree_leaves(r)[0]
+        np.asarray(leaf.reshape(-1)[:8])
+
     def timeit(name, fn, *args):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            _force(fn(*args))
             walls.append(time.perf_counter() - t0)
         walls.sort()
         w = walls[len(walls) // 2]
@@ -94,9 +100,54 @@ def main() -> int:
             px, py, zb, lb, cp, n_rel=params.n_rel, width=width,
             s_pad=params.s_pad, n_ext=params.n_ext, pallas=pallas, madd=madd)
 
+    def plan_only(lb, cp):
+        # digits + the whole integer plan build (ranks, slots, scatters),
+        # stopping right before the point gathers/fold
+        from jax import lax
+
+        d = digits_only(lb).reshape(_W, params.n_rel, width) \
+            .transpose(1, 0, 2)
+        n_rel_, width_, s_pad_ = params.n_rel, params.width, params.s_pad
+        rows, n_ext_ = params.rows, params.n_ext
+        _B = 8
+        _Tl = 8
+        live = d != 0
+        key = jnp.where(live, jnp.abs(d) - 1, _B)
+        eidx = jnp.where(d < 0, cp[:, None, :] + n_ext_,
+                         cp[:, None, :]) + jnp.zeros_like(key)
+        rank = jnp.zeros_like(key)
+        cnts = []
+        for b in range(_B):
+            m = key == b
+            cs = jnp.cumsum(m.astype(jnp.int32), axis=-1)
+            rank = jnp.where(m, cs - 1, rank)
+            cnts.append(cs[..., -1])
+        cnt = jnp.stack(cnts, axis=-1)
+        slots_per_bucket = -(-cnt // _Tl)
+        b_off = jnp.cumsum(slots_per_bucket, axis=-1) - slots_per_bucket
+        row_slots = jnp.sum(slots_per_bucket, axis=-1).reshape(-1)
+        row_off = (jnp.cumsum(row_slots) - row_slots).reshape(n_rel_, _W)
+        cell_boff = jnp.take_along_axis(
+            b_off, jnp.minimum(key, _B - 1), axis=-1)
+        gslot = row_off[..., None] + cell_boff + rank // _Tl
+        dest = jnp.where(live, (rank % _Tl) * s_pad_ + gslot, _Tl * s_pad_)
+        plan = jnp.full((_Tl * s_pad_,), 2 * n_ext_, jnp.int32).at[
+            dest.reshape(-1)].set(eidx.reshape(-1), mode="drop") \
+            .reshape(_Tl, s_pad_)
+        rowid = lax.broadcasted_iota(jnp.int32, (n_rel_, _W, width_), 0) \
+            * _W + lax.broadcasted_iota(
+                jnp.int32, (n_rel_, _W, width_), 1)
+        gkey = jnp.where(live, rowid * _B + key, rows * _B + 9)
+        sdest = jnp.where(live, gslot, s_pad_)
+        slot_gkey = jnp.full((s_pad_,), rows * _B + 9, jnp.int32).at[
+            sdest.reshape(-1)].set(gkey.reshape(-1), mode="drop")
+        return plan[0, ::1024], slot_gkey[::1024]
+
     res = {"n_rel": params.n_rel, "width": width, "s_pad": params.s_pad}
     res["digits_ms"] = round(1e3 * timeit(
         "digits", jax.jit(digits_only), limbs), 1)
+    res["plan_ms"] = round(1e3 * timeit(
+        "plan", jax.jit(plan_only), limbs, colsj), 1)
     res["core_ms"] = round(1e3 * timeit(
         "core", jax.jit(core_only), bases.ext_px, bases.ext_py,
         bases.ext_zb, limbs, colsj), 1)
@@ -122,8 +173,9 @@ def main() -> int:
 
     adds = 8 * params.s_pad
     res["fold_adds"] = adds
-    res["fold_adds_per_s_M"] = round(
-        adds / (res["gather_fold_ms"] / 1e3) / 1e6, 1)
+    if res["gather_fold_ms"] > 0:
+        res["fold_adds_per_s_M"] = round(
+            adds / (res["gather_fold_ms"] / 1e3) / 1e6, 1)
     print(json.dumps(res), flush=True)
     (REPO / "bench_grouped_phases.json").write_text(json.dumps(res, indent=1))
     return 0

@@ -65,3 +65,32 @@ def test_grouped_single_and_empty_relations(pool):
     want = pool[1].add(pool[2].mul(R - 2))
     assert got[1].to_affine() == want.to_affine()
     assert grouped_msm(bases, []) == []
+
+
+def test_table_mode_matches_host(pool):
+    """Dense table path (precomputed d*P multiples, streaming fold) must
+    equal per-relation host MSMs on the same adversarial shapes as the
+    slot path — including negatives, repeats, top-window carries and the
+    d=8 table edge."""
+    from curdleproofs_tpu.ops.msm_grouped import (
+        DeviceBasesTable, grouped_msm_table,
+    )
+
+    rnd = random.Random(5)
+    table = DeviceBasesTable(DeviceBases(pool))
+    n = 12
+    cols = list(range(n))
+    rels = [
+        (cols, [rnd.randrange(R) for _ in range(n)]),
+        (cols, [0] * n),
+        (cols, [R - 1] * n),                  # negatives everywhere
+        (cols, [8] * n),                      # digit exactly 8 (max multiple)
+        (cols, [(1 << 252) + 7] * n),         # top-window carry
+        ([3] * n, [5] * n),                   # repeated base (P+P inside fold)
+        ([7], [1 << 254]),                    # short relation + padding
+    ]
+    got = grouped_msm_table(table, rels)
+    for (cc, ss), g in zip(rels, got):
+        want = _host([pool[c] for c in cc], ss)
+        assert g.to_affine() == want.to_affine()
+    assert grouped_msm_table(table, []) == []
