@@ -77,6 +77,8 @@ def lib() -> ctypes.CDLL | None:
         "cp_fr_inner_many": [ctypes.c_char_p, ctypes.c_char_p,
                              ctypes.c_uint64, ctypes.c_uint64,
                              ctypes.c_char_p],
+        "cp_fr_prefix_prod": [ctypes.c_char_p, ctypes.c_uint64,
+                              ctypes.c_char_p],
         "cp_msm_ba": [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64,
                       ctypes.c_char_p],
         "cp_msm_glv": [ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p,
@@ -313,6 +315,14 @@ def fr_inner_many_raw(a: bytes, b: bytes, n: int) -> list[int]:
     raw = out.raw
     return [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
             for i in range(m)]
+
+
+def fr_prefix_prod_raw(xs: bytes) -> bytes:
+    """Exclusive prefix products [1, x0, x0*x1, ...] mod r (canonical LE)."""
+    n = len(xs) // 32
+    out = ctypes.create_string_buffer(32 * n)
+    lib().cp_fr_prefix_prod(bytes(xs), n, out)
+    return out.raw
 
 
 def fr_scale_raw(rf: int, xs: bytes) -> bytes:

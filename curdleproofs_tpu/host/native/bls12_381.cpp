@@ -1472,6 +1472,23 @@ void cp_fr_mul_vec(const uint8_t *a, const uint8_t *b, uint64_t n,
     }
 }
 
+// Exclusive prefix products: out[0] = 1, out[i] = x[0]*...*x[i-1] mod r —
+// the grand-product witness vector (grand_product_argument.rs:69-73).
+void cp_fr_prefix_prod(const uint8_t *xs, uint64_t n, uint8_t *out) {
+    Fr4 acc;
+    std::memcpy(acc.l, FR_ONE_MONT, 32);  // 1 in mont
+    Fr4 one = {{1, 0, 0, 0}};
+    for (uint64_t i = 0; i < n; ++i) {
+        Fr4 v;
+        fr4_mont_mul(acc, one, v);  // -> canonical
+        std::memcpy(out + 32 * i, v.l, 32);
+        Fr4 x, t;
+        fr4_load(xs + 32 * i, x);
+        fr4_mont_mul(acc, x, t);
+        acc = t;
+    }
+}
+
 // m independent inner products over contiguous [m, n] operand blocks:
 // out[k] = sum_i a[k*n + i] * b[k*n + i] mod r (the L_C/R_C z-terms of a
 // whole proof batch in one sweep).

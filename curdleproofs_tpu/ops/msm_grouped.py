@@ -370,16 +370,17 @@ def _table_stage1(ext_px, ext_py, ext_zb):
     z1 = jnp.where(zb[None] != 0, one, jnp.uint32(0))
     p1 = PointsXYZ(x1, y1, z1)
 
-    acc = p1
-    xs, ys, zs = [], [], []
-    for _ in range(7):  # 2P .. 8P
-        acc = _g1_add_jnp_local(acc, p1)
-        xs.append(acc.x)
-        ys.append(acc.y)
-        zs.append(acc.z)
-    mx = jnp.concatenate(xs, axis=1)
-    my = jnp.concatenate(ys, axis=1)
-    mz = jnp.concatenate(zs, axis=1)
+    # 2P..8P via a 7-step scan (ONE traced add body: the unrolled inline
+    # chain produced an HLO big enough to OOM the remote compile helper)
+    def step(acc, _):
+        nxt = _g1_add_jnp_local(acc, p1)
+        return nxt, (nxt.x, nxt.y, nxt.z)
+
+    _, (sx, sy, sz) = lax.scan(step, p1, None, length=7)
+    # [7, 24, N] -> [24, 7N] in multiple-major blocks (m*N + i)
+    mx = sx.transpose(1, 0, 2).reshape(24, -1)
+    my = sy.transpose(1, 0, 2).reshape(24, -1)
+    mz = sz.transpose(1, 0, 2).reshape(24, -1)
 
     # product of all z's (zeros masked to 1) for Montgomery batch inversion
     zmask = jnp.where(jnp.any(mz != 0, axis=0)[None], mz,

@@ -137,6 +137,18 @@ def fr_scale_raw(rf: int, xs: bytes) -> bytes:
     return ints_to_raw([rf * x % R for x in raw_to_ints(xs)])
 
 
+def fr_prefix_prod(xs: bytes) -> bytes:
+    """Exclusive prefix products [1, x0, x0*x1, ...] mod r."""
+    nat = _native()
+    if nat is not None:
+        return nat.fr_prefix_prod_raw(xs)
+    out, acc = [], 1
+    for x in raw_to_ints(xs):
+        out.append(acc)
+        acc = acc * x % R
+    return ints_to_raw(out)
+
+
 def fr_powers_raw(base: int, n: int) -> bytes:
     nat = _native()
     if nat is not None:
@@ -322,14 +334,21 @@ def _prove_wave(crs: CurdleproofsCrs,
     # RNG draws happen here in the exact sequential order (they depend on
     # nothing downstream): a_blinders(2), c_blinders(4), ipa_r(n),
     # ipa_z(n-2), r_t, r_u, r_a, r_b, r_k, msm_r(n).
+    from ..transcript import _points_payload
+
     ts: list[Transcript] = []
     vec_a_l: list[list[int]] = []
     a_perm_l: list[list[int]] = []
+    tu_bodies: list[tuple[bytes, bytes]] = []
     dr: list[dict] = []
     for inst in insts:
         t = Transcript(b"curdleproofs")
         for vec in (inst.vec_R, inst.vec_S, inst.vec_T, inst.vec_U):
             t.append_point_vec(b"curdleproofs_step1", vec)
+        # keep the joined T/U bodies for the same-msm step-1 appends (the
+        # transcript's payload memo is bounded and would recompute them)
+        tu_bodies.append((_points_payload(inst.vec_T)[8:],
+                          _points_payload(inst.vec_U)[8:]))
         t.append_point(b"curdleproofs_step1", inst.M)
         vec_a = t.get_and_append_challenges(b"curdleproofs_vec_a", ell)
         ts.append(t)
@@ -388,16 +407,21 @@ def _prove_wave(crs: CurdleproofsCrs,
 
     # ---- dispatch 2: grand-product C commitments --------------------------
     vec_c_l = []
+    factors_raw_l = []
     rels = []
     for b in range(B):
-        vec_c = [1]
-        for f in factors_l[b][: ell - 1]:
-            vec_c.append(vec_c[-1] * f % R)
-        vec_c_l.append(vec_c)
-        rels.append((acols, ints_to_raw(vec_c + dr[b]["c_blinders"])))
+        # vec_c = exclusive prefix products of the factors (native chain)
+        factors_raw = ints_to_raw(factors_l[b])
+        vec_c_raw = fr_prefix_prod(factors_raw)
+        factors_raw_l.append(factors_raw)
+        vec_c_l.append(vec_c_raw)
+        rels.append((acols,
+                     vec_c_raw + ints_to_raw(dr[b]["c_blinders"])))
     C_l = disp.run(rels)
 
     # ---- grand-product step 2/3 (host) + IPA witness ----------------------
+    one32 = (1).to_bytes(32, "little")
+    ones_ell = one32 * ell
     ipa_state: list[dict] = []
     for b in range(B):
         t, d = ts[b], dr[b]
@@ -412,12 +436,12 @@ def _prove_wave(crs: CurdleproofsCrs,
         u_raw = fr_powers_raw(beta_inv, ell + 1)
         u_raw = u_raw[:32 * ell] + u_raw[32 * ell: 32 * (ell + 1)] * N_BLINDERS
 
-        vec_d, pow_b = [], beta
-        pow_i = 1
-        for f in factors_l[b]:
-            vec_d.append((f * pow_b - pow_i) % R)
-            pow_b = pow_b * beta % R
-            pow_i = pow_i * beta % R
+        # vec_d[i] = f_i*beta^(i+1) - beta^i = beta^i * (beta*f_i - 1):
+        # three native chains instead of 3*ell python bigint muls
+        bf = fr_scale_raw(beta, factors_raw_l[b])
+        bf_m1 = fr_axpy(R - 1, bf, ones_ell)               # beta*f - 1
+        excl_pows = one32 + fr_powers_raw(beta, ell - 1)   # [1, b, .., b^l-1]
+        vec_d_raw = fr_mul_vec(bf_m1, excl_pows)
         beta_ell1 = fr_pow(beta, ell + 1)
         vec_d_blinders = [beta_ell1 * f % R for f in rbpa]
         D_pt = _msm3([B_l[b], crs.G_sum, crs.H_sum],
@@ -425,22 +449,29 @@ def _prove_wave(crs: CurdleproofsCrs,
         inner_prod = (r_p * beta_ell1
                       + gprod_l[b] * fr_pow(beta, ell) - 1) % R
 
-        c_full = vec_c_l[b] + d["c_blinders"]
-        d_full = vec_d + vec_d_blinders
-        r_c, z_part = d["ipa_r"], list(d["ipa_z"])
-        omega = (inner_product(r_c, d_full)
-                 + inner_product(z_part, c_full[: n - 2])) % R
-        delta = inner_product(r_c[: n - 2], z_part)
-        inv_c = fr_inv(c_full[n - 2])
-        denom = (-r_c[n - 2] * inv_c % R * c_full[n - 1] + r_c[n - 1]) % R
-        last_z = ((r_c[n - 2] * inv_c % R * omega - delta) % R
+        c_full_raw = vec_c_l[b] + ints_to_raw(d["c_blinders"])
+        d_full_raw = vec_d_raw + ints_to_raw(vec_d_blinders)
+        rc_raw = ints_to_raw(d["ipa_r"])
+        z_raw = ints_to_raw(d["ipa_z"])
+        # the 2x2 blinder solve (reference inner_product_argument.rs:42-82)
+        # over native inner products
+        omega = (fr_inner2(rc_raw, d_full_raw, n)[0]
+                 + fr_inner2(z_raw, c_full_raw[: 32 * (n - 2)], n - 2)[0]) % R
+        delta = fr_inner2(rc_raw[: 32 * (n - 2)], z_raw, n - 2)[0]
+        c_nm2 = int.from_bytes(c_full_raw[32 * (n - 2): 32 * (n - 1)],
+                               "little")
+        c_nm1 = int.from_bytes(c_full_raw[32 * (n - 1):], "little")
+        r_nm2, r_nm1 = d["ipa_r"][n - 2], d["ipa_r"][n - 1]
+        inv_c = fr_inv(c_nm2)
+        denom = (-r_nm2 * inv_c % R * c_nm1 + r_nm1) % R
+        last_z = ((r_nm2 * inv_c % R * omega - delta) % R
                   * fr_inv(denom) % R)
-        penult_z = -inv_c * ((last_z * c_full[n - 1] + omega) % R) % R
-        r_d = z_part + [penult_z, last_z]
+        penult_z = -inv_c * ((last_z * c_nm1 + omega) % R) % R
+        rd_raw = (z_raw + penult_z.to_bytes(32, "little")
+                  + last_z.to_bytes(32, "little"))
         ipa_state.append(dict(
             u=u_raw, D=D_pt, z=inner_prod, r_p=r_p,
-            c=ints_to_raw(c_full), d=ints_to_raw(d_full),
-            rc=ints_to_raw(r_c), rd=ints_to_raw(r_d)))
+            c=c_full_raw, d=d_full_raw, rc=rc_raw, rd=rd_raw))
 
     # ---- dispatch 3: IPA blinder commitments B_c, B_d ---------------------
     rels = []
@@ -563,19 +594,25 @@ def _prove_wave(crs: CurdleproofsCrs,
         rels.append((ucols[b], r_raw))
     d4 = disp.run(rels)
 
+    from ..host.serde import g1_to_bytes, vec_len_prefix
+
+    inf_b = g1_to_bytes(G1.infinity())
+    h_b = g1_to_bytes(crs.H)
     sm_state = []
     for b in range(B):
         t, d = ts[b], dr[b]
         A_prime = A_l[b].add(cm_T_l[b].T_1).add(cm_U_l[b].T_1)
         B_a, B_t, B_u = d4[3 * b: 3 * b + 3]
-        vec_T_wb = (list(insts[b].vec_T)
-                    + [G1.infinity(), G1.infinity(), crs.H, G1.infinity()])
-        vec_U_wb = (list(insts[b].vec_U)
-                    + [G1.infinity(), G1.infinity(), G1.infinity(), crs.H])
+        # T/U-with-blinders payloads from the step-1 joined bodies (strip
+        # the u64 length prefix, append the 4 fixed blinder columns) — the
+        # byte stream is identical to append_point_vec on the built lists
+        body_T, body_U = tu_bodies[b]
         t.append_points(b"same_msm_step1",
                         [A_prime, cm_T_l[b].T_2, cm_U_l[b].T_2])
-        t.append_point_vec(b"same_msm_step1", vec_T_wb)
-        t.append_point_vec(b"same_msm_step1", vec_U_wb)
+        t.append_message(b"same_msm_step1", vec_len_prefix(n) + body_T
+                         + inf_b + inf_b + h_b + inf_b)
+        t.append_message(b"same_msm_step1", vec_len_prefix(n) + body_U
+                         + inf_b + inf_b + inf_b + h_b)
         t.append_points(b"same_msm_step1", [B_a, B_t, B_u])
         alpha = t.get_and_append_challenge(b"same_msm_alpha")
         vec_x = a_perm_l[b] + d["a_blinders"] + [d["r_t"], d["r_u"]]
